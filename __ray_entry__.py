@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship fused redaction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operators; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every exactly-SQL-expressible one (the rest get
+the driver's rows-only check and full equality coverage in pytest).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The transcript corpus is synthesized deterministically (no turns table
+ships in /root/testdata): ``sources.turns.ensure_turns`` writes a cached
+parquet under /tmp keyed by scale label, and the oracle SQL reads the SAME
+file via ``read_parquet`` — both sides see identical input.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +20,183 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pdfredact_ray.pipelines import corpus as C
+from pdfredact_ray.pipelines import turnqueries as T
+from pdfredact_ray.sources.turns import ensure_turns
+
+# Rule patterns (raw strings, shared by the Ray rules and the SQL oracles).
+_SSN = r"\d{3}-\d{2}-\d{4}"
+_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_CC = r"\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}"
+_PLAIN = "text NOT LIKE '@@LAYOUT@@%'"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: fused detect+merge+mask
+    over the synthetic transcript corpus, order-restored."""
+    return T.redact_full("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- redaction engine (SURVEY.md §2: S1-S5, M1-M8, F1, G1-G5, J1, K1-K3)
+        "redact_full": T.redact_full,
+        "redact_mask_equality": T.redact_mask_equality,
+        "redact_match_counts": T.redact_match_counts,
+        "redact_turn_counts": T.redact_turn_counts,
+        "plan_matched_text": T.plan_matched_text,
+        "redact_fragment_digits": T.redact_fragment_digits,
+        # --- deduplication
+        "dedup_exact": C.dedup_exact,
+        "minhash_near_dup_pairs": C.minhash_near_dup_pairs,
+        "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
+        "simhash_signatures": C.simhash_signatures,
+        # --- text analysis
+        "doc_token_counts": C.doc_token_counts,
+        "doc_quality": C.doc_quality,
+        "doc_fingerprints": C.doc_fingerprints,
+        "doc_rolling_fingerprints": C.doc_rolling_fingerprints,
+        "doc_langid": C.doc_langid,
+        # --- similarity search
+        "ann_topk_bruteforce": C.ann_topk_bruteforce,
+        "ann_topk_ivf": C.ann_topk_ivf,
+        # --- multimodal plumbing (deterministic decode stubs)
+        "multimodal_decode": C.multimodal_decode,
+        "multimodal_frames": C.multimodal_frames,
+        # --- windowed / sessionized events + wide aggregate
+        "events_tumbling_window": C.events_tumbling_window,
+        "events_sessionize": C.events_sessionize,
+        "lineitem_agg": C.lineitem_agg,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _count_expr(pattern: str, options: str = "") -> str:
+    """Non-overlapping leftmost match count — DuckDB regexp_extract_all has
+    exactly the engine's finditer semantics (SURVEY.md §2.1 #2)."""
+    pat_sql = pattern.replace("'", "''")
+    if options:
+        return f"len(regexp_extract_all(text, '{pat_sql}', 0, '{options}'))"
+    return f"len(regexp_extract_all(text, '{pat_sql}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # materialize the sf0.01 corpus so DuckDB can read the same parquet the
+    # Ray queries read (driver compares at sf=0.01)
+    turns = ensure_turns("sf0.01")
+    plain = f"SELECT * FROM read_parquet('{turns}') WHERE {_PLAIN}"
+
+    # per-rule (pattern, count-expr) in engine rule_pattern spelling
+    rule_counts = [
+        (_SSN, _count_expr(_SSN)),
+        (_EMAIL, _count_expr(_EMAIL)),
+        (_CC, _count_expr(_CC)),
+        ("CONFIDENTIAL", _count_expr(r"CONFIDENTIAL")),
+        ("internal use only", _count_expr("internal use only", "i")),
+        ("SECRET", _count_expr("SECRET")),
+    ]
+    match_counts_union = "\nUNION ALL\n".join(
+        f"SELECT '{p}' AS rule_pattern, CAST(SUM({c}) AS BIGINT) AS n_matches FROM plain"
+        for p, c in rule_counts
+    )
+    per_turn_sum = " + ".join(c for _, c in rule_counts)
+
+    matched_text_union = "\nUNION ALL\n".join(
+        f"SELECT conv_id, turn_idx, unnest(regexp_extract_all(text, '{p}')) AS matched_text, "
+        f"'{p}' AS rule_pattern FROM plain"
+        for p in (_SSN, _EMAIL, _CC)
+    )
+
+    return {
+        # SSN tokens are always the 11-char ssn + '.' (12 chars) and
+        # CONFIDENTIAL is always a standalone 12-char token in this corpus,
+        # so whole-token masking (SURVEY.md §2.1 #3) is a fixed-width replace.
+        "redact_mask_equality": f"""
+            SELECT conv_id, turn_idx,
+                   replace(
+                     regexp_replace(text, '\\S*{_SSN}\\S*', repeat('█', 12), 'g'),
+                     'CONFIDENTIAL', repeat('█', 12)
+                   ) AS redacted_text
+            FROM read_parquet('{turns}') WHERE {_PLAIN}
+        """,
+        "redact_match_counts": f"""
+            WITH plain AS ({plain})
+            SELECT * FROM ({match_counts_union}) WHERE n_matches > 0
+        """,
+        "redact_turn_counts": f"""
+            WITH plain AS ({plain})
+            SELECT conv_id, turn_idx, CAST(n AS BIGINT) AS n_redactions
+            FROM (SELECT conv_id, turn_idx, {per_turn_sum} AS n FROM plain)
+            WHERE n > 0
+        """,
+        "plan_matched_text": f"""
+            WITH plain AS ({plain})
+            {matched_text_union}
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "events_tumbling_window": """
+            SELECT user_id,
+                   date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(1 + SUM(brk) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+        """,
+        # redact_full / redact_fragment_digits: fragment tokenizer + layout
+        # payloads — not SQL-expressible; rows-only (pytest covers equality).
+        # minhash/simhash/rollhash/langid/ivf/multimodal: hash/heuristic/
+        # approximate kernels — rows-only by design.
+    }

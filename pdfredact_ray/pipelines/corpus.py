@@ -1,0 +1,319 @@
+"""Training-data / corpus pipelines over the driver testdata tables
+(documents, embeddings, events, lineitem) plus the synthetic transcript
+corpus — the "beyond the reference" operations a 100 TB training-data
+pipeline needs (dedup, similarity search, text analysis, windowed
+aggregates), each expressed Ray-Data-first.
+
+Scale notes (100 TB posture) are attached per function. Everything here
+returns a LAZY Dataset unless the result is provably tiny (top-k merges,
+per-rule counts), in which case a small materialized table is fine.
+
+Nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from pdfredact_ray.stages.dedup import MinHasher, PairVerifier, SimHasher, bucket_to_pairs, jaccard, word_shingles
+from pdfredact_ray.stages.embed import BruteForceTopK, IVFTopK, build_ivf_centroids, final_topk, normalize
+from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, text_to_binary
+from pdfredact_ray.stages.textops import LangId, fingerprints, quality_scores, rolling_fingerprints, token_counts
+
+
+def _docs(sf_dir: str, columns: Optional[Sequence[str]] = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns) if columns else None)
+
+
+# --------------------------------------------------------------------- dedup
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: md5 digest inside map_batches (only (digest, doc_id)
+    rows ever shuffle — never the text bodies), then groupby(digest) keeps
+    the min doc_id. At 100 TB the digest shuffle is ~64B/row."""
+    import hashlib
+
+    def digest(batch: pa.Table) -> pa.Table:
+        d = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"digest": pa.array(d, pa.string()), "doc_id": batch.column("doc_id")})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(digest, batch_format="pyarrow")
+    kept = ds.groupby("digest").min("doc_id")
+    return kept.map_batches(
+        lambda t: t.rename_columns(["digest", "doc_id"]), batch_format="pyarrow"
+    )
+
+
+def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """MinHash+LSH near-dup: shingle → 64 minhashes → 16 bands → explode to
+    (band, band_hash, doc_id) → groupby bucket → candidate pairs → exact
+    shingle-Jaccard verify. The verify side is broadcast at test scale
+    (ray.put once); at 100 TB it becomes a hash join on doc_id — the
+    candidate-pair set is tiny either way. Returns the verified pair table
+    (doc_a, doc_b, jaccard) deduped across bands."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    banded = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    pairs = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_to_pairs, batch_format="pandas")
+    )
+    # candidate pairs are tiny (LSH by construction); dedup driver-side
+    cand = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    cand_tbl = pa.Table.from_pandas(cand, preserve_index=False)
+    if cand_tbl.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+    texts = {
+        d: t
+        for d, t in zip(
+            *(c.to_pylist() for c in pa.concat_tables(ray.get(docs.to_arrow_refs())).select(["doc_id", "text"]).columns)
+        )
+    }
+    verifier = PairVerifier(texts, threshold=threshold)
+    return verifier(cand_tbl)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pa.Table:
+    """Exact all-pairs n-gram Jaccard above threshold — the small-scale
+    oracle for the MinHash path (quadratic; at 100 TB you never run this,
+    you run minhash_near_dup_pairs). Driver-side on purpose: it IS the
+    brute-force baseline."""
+    tbl = pa.concat_tables(ray.get(_docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()))
+    ids = tbl.column("doc_id").to_pylist()
+    shingles = [word_shingles(t, k) for t in tbl.column("text").to_pylist()]
+    a_out, b_out, j_out = [], [], []
+    order = np.argsort(ids)
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            val = jaccard(shingles[i], shingles[j])
+            if val >= threshold:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                j_out.append(val)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+def simhash_signatures(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash + 4×16-bit band keys per doc (near-dup bucketing)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+def doc_token_counts(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(token_counts, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(quality_scores, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fingerprints, batch_format="pyarrow")
+
+
+def doc_rolling_fingerprints(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(rolling_fingerprints, batch_format="pyarrow")
+
+
+def doc_langid(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+# --------------------------------------------------------- similarity search
+
+def _query_set(sf_dir: str, n_queries: int = 8):
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q_tbl = pa.concat_tables(
+        ray.get(
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t.column("vec_id"), n_queries)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    )
+    ids = q_tbl.column("vec_id").to_pylist()
+    order = np.argsort(ids)
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_tbl.column("embedding").to_pylist()]
+    )[order]
+    return emb, {"ids": [ids[i] for i in order], "vecs": vecs}
+
+
+def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> rd.Dataset:
+    """Exact cosine top-k: broadcast query matrix (ray.put once), one dense
+    GEMM per batch emitting per-batch top-k partials, tiny groupby(query_id)
+    merge to the global top-k. The partials shuffle is n_queries×k per block
+    regardless of corpus size — the scale baseline."""
+    emb, q = _query_set(sf_dir, n_queries)
+    q_ref = ray.put(q)
+    partials = emb.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": q_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: final_topk(g, k=k), batch_format="pandas"
+    )
+
+
+def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16, nprobe: int = 4) -> rd.Dataset:
+    """IVF-bucketed ANN: seeded centroids from a driver sample, batches score
+    only rows in each query's nprobe nearest cells. Approximate by
+    construction (rows-only check)."""
+    emb, q = _query_set(sf_dir, n_queries)
+    sample_tbl = pa.concat_tables(ray.get(emb.limit(2048).to_arrow_refs()))
+    sample = np.stack([np.asarray(v, np.float64) for v in sample_tbl.column("embedding").to_pylist()])
+    cents = build_ivf_centroids(sample, n_cells)
+    partials = emb.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(q),
+            "centroids_ref": ray.put(cents),
+            "k": k,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: final_topk(g, k=k), batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------------- multimodal
+
+def multimodal_decode(sf_dir: str) -> rd.Dataset:
+    """Binary-payload decode plumbing: text bytes stand in for image bytes
+    (no codec libs in this env — ImageDecoder(fake=True) is the documented
+    stub); schema/actor/batch-size layout is the real 100 TB shape (small
+    batches for big payloads)."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(text_to_binary, batch_format="pyarrow")
+        .map_batches(
+            ImageDecoder,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 8),
+        )
+    )
+
+
+def multimodal_frames(sf_dir: str) -> rd.Dataset:
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(text_to_binary, batch_format="pyarrow")
+        .map_batches(
+            FrameSampler,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 8),
+        )
+    )
+
+
+# ------------------------------------------------------------------- events
+
+def events_tumbling_window(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per user: vectorized window-key derivation in
+    map_batches, then groupby aggregate. Money sums use floor(value*100)
+    int64 cents so the aggregate is order-independent (exact under any
+    shuffle/combine order — float sums are not)."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        win = pc.floor_temporal(ts, unit="hour")
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "window_start": win, "cents": cents})
+
+    agg = ev.map_batches(keys, batch_format="pyarrow").groupby(["user_id", "window_start"]).aggregate(
+        Count(), Sum("cents")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id", "window_start", "n_events", "sum_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Sessionization: groupby(user_id) + per-group sorted sweep (a new
+    session starts when the gap to the previous event exceeds the threshold).
+    Per-user event counts are small; whale users would need per-user salting
+    plus a session-stitch pass — documented partitioning assumption."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group):
+        import pandas as pd
+
+        ts = group["ts"].sort_values().astype("int64").to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "n_events": np.array([len(ts)], dtype=np.int64),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ lineitem
+
+def lineitem_agg(sf_dir: str) -> rd.Dataset:
+    """TPC-H-q1-style pricing summary with order-independent integer sums
+    (quantities are integral; prices aggregated as floor-cents)."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": cents,
+            }
+        )
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("price_cents"), Count())
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"]
+        ),
+        batch_format="pyarrow",
+    )

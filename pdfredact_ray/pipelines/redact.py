@@ -1,0 +1,210 @@
+"""Pipeline builders — the Ray Data expression of the reference CLI verbs
+(plan / apply / redact, /root/reference/src/PdfRedact.CLI/Commands/*.cs).
+
+All builders return LAZY Datasets; the caller consumes (write_parquet /
+iter_batches / count). Nothing here calls ray.init().
+
+Topology (SURVEY.md §3):
+
+- plan:   read_parquet(turns) -> map_batches(RuleMatcher[plan] actor pool)
+          -> plan rows. No shuffle — detection is embarrassingly per-turn.
+- apply:  read_parquet(plan) + read_parquet(turns): broadcast the plan index
+          (ray.put once, read per actor) when small; hash-partitioned
+          Dataset.join on (conv_id, turn_idx) when large.
+- redact: fused read -> map_batches(RuleMatcher[redact]) -> (optional) plan
+          tee; no materialization barrier (RedactCommand.cs:202-213).
+- order_restore: sort by (conv_id, turn_idx) — the ONLY wide op in the
+  flagship pipeline; run it just before an ordered sink, never mid-stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from pdfredact_ray.functions.rules import RedactionRule, RuleLike
+from pdfredact_ray.stages.apply import Applier, build_plan_index
+from pdfredact_ray.stages.detect import RuleMatcher
+
+# Actor-pool defaults: autoscale so the same code saturates 8 or 32 CPUs;
+# batch ~2k turns (a few hundred KB of text) keeps per-batch Python overhead
+# amortized without bloating actor heaps.
+DEFAULT_CONCURRENCY = (1, 64)
+DEFAULT_BATCH_SIZE = 2048
+
+# Broadcasting the plan index is cheaper than a shuffle join until the plan
+# stops fitting comfortably in the object store / actor heaps.
+BROADCAST_PLAN_MAX_ROWS = 2_000_000
+
+
+def read_turns(path: Union[str, Sequence[str]], columns: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """Prune at the read: detection needs (conv_id, turn_idx, text) + the
+    carried-through output columns; callers doing counts can prune harder."""
+    return rd.read_parquet(path, columns=list(columns) if columns else None)
+
+
+def plan_pipeline(
+    turns: rd.Dataset,
+    rules: Sequence[RuleLike],
+    *,
+    concurrency=DEFAULT_CONCURRENCY,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    strict: bool = True,
+) -> rd.Dataset:
+    """Detection only -> PLAN rows (PlanCommand analog)."""
+    return turns.map_batches(
+        RuleMatcher,
+        fn_constructor_kwargs={
+            "rules": _specs(rules),
+            "mode": "plan",
+            "strict": strict,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def apply_pipeline(
+    turns: rd.Dataset,
+    plan: Union[rd.Dataset, pa.Table],
+    *,
+    concurrency=DEFAULT_CONCURRENCY,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    broadcast_max_rows: int = BROADCAST_PLAN_MAX_ROWS,
+) -> rd.Dataset:
+    """Plan ⋈ turns -> REDACTED rows (ApplyCommand analog).
+
+    Small plan: broadcast hash-lookup join (no shuffle). Large plan: falls
+    back to a partitioned shuffle join on (conv_id, turn_idx) and applies
+    spans group-wise. Left-outer either way (copy-through for matchless turns).
+    """
+    if isinstance(plan, pa.Table):
+        plan_rows = plan.num_rows
+        small = plan_rows <= broadcast_max_rows
+        plan_tbl = plan if small else None
+        plan_ds = rd.from_arrow(plan) if not small else None
+    else:
+        plan_rows = plan.count()
+        small = plan_rows <= broadcast_max_rows
+        plan_tbl = (
+            pa.concat_tables(ray.get(plan.to_arrow_refs())) if small else None
+        )
+        plan_ds = plan if not small else None
+
+    if small:
+        index_ref = ray.put(build_plan_index(plan_tbl))
+        return turns.map_batches(
+            Applier,
+            fn_constructor_kwargs={"plan_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+    return _apply_shuffle_join(turns, plan_ds, concurrency=concurrency, batch_size=batch_size)
+
+
+def _apply_shuffle_join(turns, plan_ds, *, concurrency, batch_size):
+    """Large-plan path: pre-aggregate plan rows per turn into packed span
+    lists (combiner before the shuffle), then a hash-partitioned left-outer
+    Dataset.join on (conv_id, turn_idx), then mask per row."""
+    import json
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # partial combine: one row per (conv, turn) per block
+        idx = build_plan_index(batch)
+        return pa.table(
+            {
+                "conv_id": pa.array([k[0] for k in idx], type=pa.string()),
+                "turn_idx": pa.array([k[1] for k in idx], type=pa.int32()),
+                "packed_spans": pa.array(
+                    [json.dumps(v) for v in idx.values()], type=pa.string()
+                ),
+            }
+        )
+
+    packed = plan_ds.map_batches(pack, batch_format="pyarrow", batch_size=65536)
+    # Partition count sized to the cluster: each hash-shuffle aggregator is
+    # an actor needing a CPU slot, so more partitions than cores LIVELOCKS a
+    # small cluster; at scale you want ~2-4x cores for skew smoothing.
+    num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = turns.join(
+        packed,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("conv_id", "turn_idx"),
+    )
+
+    def mask_joined(batch: pa.Table) -> pa.Table:
+        from pdfredact_ray.schema import REDACTED, SPAN
+        from pdfredact_ray.stages.apply import apply_spans_to_text
+
+        texts = batch.column("text").to_pylist()
+        packed_col = batch.column("packed_spans").to_pylist()
+        red, spans_col, n_red = [], [], []
+        for text, p in zip(texts, packed_col):
+            all_spans = []
+            if p:
+                all_spans.extend(tuple(s) for s in json.loads(p))
+            all_spans.sort()
+            red.append(apply_spans_to_text(text, all_spans))
+            spans_col.append(
+                [{"start": s, "end": e, "rule_pattern": r} for s, e, r in all_spans]
+            )
+            n_red.append(len(all_spans))
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role"),
+                "tool": batch.column("tool"),
+                "ts": batch.column("ts"),
+                "redacted_text": pa.array(red, type=pa.string()),
+                "spans": pa.array(spans_col, type=pa.list_(SPAN)),
+                "n_redactions": pa.array(n_red, type=pa.int32()),
+            },
+            schema=REDACTED,
+        )
+
+    return joined.map_batches(mask_joined, batch_format="pyarrow", batch_size=batch_size)
+
+
+def redact_pipeline(
+    turns: rd.Dataset,
+    rules: Sequence[RuleLike],
+    *,
+    concurrency=DEFAULT_CONCURRENCY,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    strict: bool = True,
+) -> rd.Dataset:
+    """Fused detect+merge+mask (RedactCommand analog) -> REDACTED rows."""
+    return turns.map_batches(
+        RuleMatcher,
+        fn_constructor_kwargs={
+            "rules": _specs(rules),
+            "mode": "redact",
+            "strict": strict,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def order_restore(ds: rd.Dataset) -> rd.Dataset:
+    """Stable turn ordering: sort by (conv_id, turn_idx). This is the
+    all-to-all exchange of the flagship pipeline; Ray's sort sample-partitions
+    the key range, which also spreads whale conversations across several
+    blocks (turn_idx is part of the key), bounding skew."""
+    return ds.sort(["conv_id", "turn_idx"])
+
+
+def _specs(rules: Sequence[RuleLike]) -> list:
+    return [r.to_dict() if isinstance(r, RedactionRule) else dict(r) for r in rules]

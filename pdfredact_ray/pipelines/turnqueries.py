@@ -1,0 +1,113 @@
+"""Driver-facing redaction queries over the synthetic transcript corpus.
+
+Each builder takes ``sf_dir`` (a /root/testdata/sfX dir — only the scale
+label is used; the turns table itself is synthesized deterministically by
+``sources.turns.ensure_turns`` and cached under /tmp, where the DuckDB
+oracle reads the *same* parquet file).
+
+Plain-turn filtering: the DuckDB oracles can't tokenize @@LAYOUT@@ payload
+turns, so the SQL-checked queries exclude them on BOTH sides with the same
+predicate (``text NOT LIKE '@@LAYOUT@@%'``). The corpus's plain turns are
+single-line with single spaces, so flat searchable text == raw text and
+DuckDB's non-overlapping leftmost ``regexp_extract_all`` has exactly the
+engine's match semantics (SURVEY.md §2.1 #2).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from pdfredact_ray.functions.rules import RedactionRule, default_rules
+from pdfredact_ray.pipelines.redact import order_restore, plan_pipeline, read_turns, redact_pipeline
+from pdfredact_ray.functions.runs import LAYOUT_PREFIX
+from pdfredact_ray.sources.turns import ensure_turns
+
+# The two rules whose whole-token masks are exactly SQL-expressible on this
+# corpus (SSN tokens are always the 11-char ssn + '.'; CONFIDENTIAL always
+# appears as a standalone token) — the masked-text-equality flagship check.
+MASK_EQUALITY_RULES = [
+    RedactionRule(r"\d{3}-\d{2}-\d{4}", is_regex=True, description="SSN"),
+    RedactionRule("CONFIDENTIAL", description="classification keyword"),
+]
+
+
+def _plain(ds: rd.Dataset) -> rd.Dataset:
+    def keep_plain(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.starts_with(batch.column("text"), LAYOUT_PREFIX)))
+
+    return ds.map_batches(keep_plain, batch_format="pyarrow")
+
+
+def _turns(sf_dir: str) -> rd.Dataset:
+    return read_turns(ensure_turns(sf_dir))
+
+
+def redact_full(sf_dir: str) -> rd.Dataset:
+    """Flagship: full fused redaction (all default rules, layout turns
+    included), order-restored. Rows-only driver check; byte-for-byte
+    equality is covered by the pytest oracle suite."""
+    ds = redact_pipeline(_turns(sf_dir), default_rules())
+    out = order_restore(ds)
+    return out.map_batches(
+        lambda t: t.drop_columns(["spans"]), batch_format="pyarrow"
+    )  # list<struct> hashes awkwardly driver-side; spans are pytest-covered
+
+
+def redact_mask_equality(sf_dir: str) -> rd.Dataset:
+    """Per-turn masked-text equality vs a pure-SQL oracle (SSN + literal)."""
+    ds = redact_pipeline(_plain(_turns(sf_dir)), MASK_EQUALITY_RULES)
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "redacted_text"]),
+        batch_format="pyarrow",
+    )
+
+
+def redact_match_counts(sf_dir: str) -> pa.Table:
+    """Total match/region count per rule over plain turns. Partial counts
+    combine inside map_batches; only (rule_pattern, count) rows shuffle."""
+    plan = plan_pipeline(_plain(_turns(sf_dir)), default_rules())
+    agg = plan.groupby("rule_pattern").count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["rule_pattern", "n_matches"]), batch_format="pyarrow"
+    )
+
+
+def redact_turn_counts(sf_dir: str) -> rd.Dataset:
+    """(conv_id, turn_idx, n_redactions) for plain turns with >=1 region."""
+    plan = plan_pipeline(_plain(_turns(sf_dir)), default_rules())
+    agg = plan.groupby(["conv_id", "turn_idx"]).count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["conv_id", "turn_idx", "n_redactions"]),
+        batch_format="pyarrow",
+    )
+
+
+def plan_matched_text(sf_dir: str) -> rd.Dataset:
+    """Plan rows (regex rules only) as (conv_id, turn_idx, matched_text,
+    rule_pattern) — the multiset of matched slices per turn."""
+    regex_rules = [r for r in default_rules() if r.is_regex]
+    plan = plan_pipeline(_plain(_turns(sf_dir)), regex_rules)
+    return plan.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "matched_text", "rule_pattern"]),
+        batch_format="pyarrow",
+    )
+
+
+def redact_fragment_digits(sf_dir: str) -> rd.Dataset:
+    """Fragment-aware path over plain text: numeric literal rules auto-route
+    through the two-pass digit-run tokenizer, so spaced pins ('1 2 3 4')
+    match '1234'. Not SQL-expressible — rows-only check; kernel equality is
+    pytest-covered."""
+    rules = [RedactionRule("1234"), RedactionRule("98765")]
+    ds = redact_pipeline(_turns(sf_dir), rules)
+
+    def shape(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t.column("n_redactions"), 0))
+        return keep.select(["conv_id", "turn_idx", "redacted_text", "n_redactions"])
+
+    return ds.map_batches(shape, batch_format="pyarrow")

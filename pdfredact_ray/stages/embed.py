@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the query matrix is broadcast (ray.put once,
+  read per actor), each batch does one float64 matmul against it and emits
+  per-batch top-k partials; a final tiny groupby(query_id) merge yields exact
+  global top-k. Wall-time is one dense GEMM per batch — the scale baseline.
+- IVF variant: deterministic seeded centroids (one Lloyd step over a driver
+  sample), batch rows are assigned to their nearest centroid, and only rows
+  in the query's closest ``nprobe`` cells are scored — the scale path,
+  approximate by construction (rows-only check).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor stage: per-batch exact cosine top-k partials vs broadcast queries."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids: List[int] = q["ids"]
+        self.Q = normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = normalize(_to_matrix(batch.column("embedding")))
+        vec_ids = batch.column("vec_id").to_numpy()
+        sims = self.Q @ X.T  # (n_queries, n_batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            row = sims[qi]
+            idx = np.argpartition(-row, k - 1)[:k]
+            for j in idx:
+                out_q.append(qid)
+                out_v.append(int(vec_ids[j]))
+                out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def final_topk(group, k: int = 10):
+    """map_groups kernel: merge per-batch partials into the global top-k with
+    a deterministic (sim desc, vec_id asc) tie-break and emit rank."""
+    import pandas as pd
+
+    g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "vec_id", "rank"]]
+
+
+def build_ivf_centroids(sample: np.ndarray, n_cells: int, seed: int = 5) -> np.ndarray:
+    """Seeded init + one Lloyd step over the driver-side sample."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    cents = normalize(sample[np.sort(idx)].astype(np.float64))
+    sims = normalize(sample.astype(np.float64)) @ cents.T
+    assign = sims.argmax(axis=1)
+    for c in range(len(cents)):
+        members = sample[assign == c]
+        if len(members):
+            cents[c] = members.mean(axis=0)
+    return normalize(cents)
+
+
+class IVFTopK:
+    """Actor stage: score only batch rows whose IVF cell is among each
+    query's ``nprobe`` closest cells."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int = 10, nprobe: int = 4):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = q["ids"]
+        self.Q = normalize(np.asarray(q["vecs"], dtype=np.float64))
+        C = centroids_ref if isinstance(centroids_ref, np.ndarray) else ray.get(centroids_ref)
+        self.C = C
+        self.k = k
+        qc = self.Q @ C.T
+        self.probe_cells = np.argsort(-qc, axis=1)[:, :nprobe]  # (n_q, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = normalize(_to_matrix(batch.column("embedding")))
+        vec_ids = batch.column("vec_id").to_numpy()
+        cells = (X @ self.C.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            mask = np.isin(cells, self.probe_cells[qi])
+            if not mask.any():
+                continue
+            row = self.Q[qi] @ X[mask].T
+            sub_ids = vec_ids[mask]
+            k = min(self.k, len(row))
+            idx = np.argpartition(-row, k - 1)[:k]
+            for j in idx:
+                out_q.append(qid)
+                out_v.append(int(sub_ids[j]))
+                out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,108 @@
+"""End-to-end Ray Data pipeline tests: plan / apply / redact over the
+synthetic transcript corpus, checked against the pure per-turn oracle."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdfredact_ray.functions.mask import redact_turn
+from pdfredact_ray.functions.rules import RedactionRule, compile_rules, default_rules
+from pdfredact_ray.pipelines.redact import (
+    apply_pipeline,
+    order_restore,
+    plan_pipeline,
+    read_turns,
+    redact_pipeline,
+)
+from pdfredact_ray.sources.turns import ensure_turns
+
+RULES = default_rules() + [RedactionRule("1234")]
+SPECS = [r.to_dict() for r in RULES]
+
+
+@pytest.fixture(scope="module")
+def turns_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("turns")
+    return ensure_turns("sf-test", base_dir=str(d), n_turns=1500)
+
+
+@pytest.fixture(scope="module")
+def oracle_map(turns_file):
+    rs = compile_rules(RULES)
+    tbl = pq.read_table(turns_file)
+    out = {}
+    for c, t, text in zip(
+        tbl.column("conv_id").to_pylist(),
+        tbl.column("turn_idx").to_pylist(),
+        tbl.column("text").to_pylist(),
+    ):
+        red, regions = redact_turn(text, rs)
+        out[(c, t)] = (text, red, len(regions))
+    return out
+
+
+def test_synth_is_deterministic(tmp_path):
+    a = pq.read_table(ensure_turns("sf-det", base_dir=str(tmp_path / "a"), n_turns=300))
+    b = pq.read_table(ensure_turns("sf-det", base_dir=str(tmp_path / "b"), n_turns=300))
+    assert a.equals(b)
+
+
+def test_synth_has_families(oracle_map):
+    n_matched = sum(1 for _, _, n in oracle_map.values() if n > 0)
+    assert 0.1 < n_matched / len(oracle_map) < 0.6  # corpus density sanity
+
+
+def test_redact_fused_matches_oracle(ray_session, turns_file, oracle_map):
+    ds = redact_pipeline(read_turns(turns_file), SPECS)
+    got = ds.to_pandas()
+    assert len(got) == len(oracle_map)
+    for row in got.itertuples(index=False):
+        text, red, n = oracle_map[(row.conv_id, row.turn_idx)]
+        assert row.redacted_text == red, (row.conv_id, row.turn_idx)
+        assert row.n_redactions == n
+
+
+def test_plan_then_apply_equals_fused(ray_session, turns_file):
+    turns = read_turns(turns_file)
+    plan = plan_pipeline(turns, SPECS)
+    applied = order_restore(apply_pipeline(read_turns(turns_file), plan)).to_pandas()
+    fused = order_restore(redact_pipeline(read_turns(turns_file), SPECS)).to_pandas()
+    assert applied["redacted_text"].tolist() == fused["redacted_text"].tolist()
+    assert applied["n_redactions"].tolist() == fused["n_redactions"].tolist()
+    assert applied["conv_id"].tolist() == fused["conv_id"].tolist()
+
+
+def test_apply_shuffle_join_equals_broadcast(ray_session, turns_file):
+    turns = read_turns(turns_file)
+    plan = plan_pipeline(turns, SPECS).materialize()
+    via_bcast = order_restore(
+        apply_pipeline(read_turns(turns_file), plan)
+    ).to_pandas()
+    via_join = order_restore(
+        apply_pipeline(read_turns(turns_file), plan, broadcast_max_rows=0)
+    ).to_pandas()
+    for col in ("conv_id", "turn_idx", "redacted_text", "n_redactions"):
+        assert via_bcast[col].tolist() == via_join[col].tolist(), col
+
+
+def test_order_restore_is_stable(ray_session, turns_file):
+    ds = order_restore(redact_pipeline(read_turns(turns_file), SPECS))
+    df = ds.to_pandas()
+    keys = list(zip(df["conv_id"], df["turn_idx"]))
+    assert keys == sorted(keys)
+
+
+def test_empty_ruleset_passthrough(ray_session, turns_file):
+    ds = redact_pipeline(read_turns(turns_file), [])
+    df = ds.to_pandas()
+    src = pq.read_table(turns_file).to_pandas()
+    merged = df.merge(src, on=["conv_id", "turn_idx"])
+    assert (merged["redacted_text"] == merged["text"]).all()
+    assert (merged["n_redactions"] == 0).all()
+
+
+def test_plan_counts_match_spans(ray_session, turns_file):
+    turns = read_turns(turns_file)
+    plan_rows = plan_pipeline(turns, SPECS).count()
+    red = redact_pipeline(read_turns(turns_file), SPECS)
+    total = red.to_pandas()["n_redactions"].sum()
+    assert plan_rows == total
