@@ -1,0 +1,180 @@
+"""CLI — the engine's analog of the reference's three verbs
+(/root/reference/src/PdfRedact.CLI/Commands/{Plan,Apply,Redact}Command.cs,
+wired in Program.cs:4-11), plus ``job`` (resumable lineage-tracked run) and
+``synth`` (corpus generation). Owns its own Ray session (the only places
+allowed to: CLI, bench, test fixture).
+
+    python -m pdfredact_ray.cli plan   --input turns.parquet --out plan_dir -p '\\d{3}-\\d{2}-\\d{4}' --regex
+    python -m pdfredact_ray.cli apply  --input turns.parquet --plan plan_dir --out red_dir
+    python -m pdfredact_ray.cli redact --input turns.parquet --out red_dir -p CONFIDENTIAL [--save-plan plan_dir]
+    python -m pdfredact_ray.cli job    --input turns.parquet --out red_dir -p CONFIDENTIAL --buckets 64
+    python -m pdfredact_ray.cli synth  --sf sf0.01
+
+Mirrored CLI semantics: conflicting --fragment-aware/--no-fragment-aware
+exits 1 (PlanCommand.cs:133-137); a plan with 0 regions still produces
+full copy-through output (ApplyCommand.cs:65-69); per-conversation summary
+printed like the per-page summary (PlanCommand.cs:174-183).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _build_rules(args) -> List[dict]:
+    if args.rules_file:
+        with open(args.rules_file) as f:
+            return json.load(f)
+    fragment: Optional[bool] = None
+    if getattr(args, "fragment_aware", False) and getattr(args, "no_fragment_aware", False):
+        print("error: --fragment-aware and --no-fragment-aware are mutually exclusive", file=sys.stderr)
+        raise SystemExit(1)
+    if getattr(args, "fragment_aware", False):
+        fragment = True
+    elif getattr(args, "no_fragment_aware", False):
+        fragment = False
+    return [
+        {
+            "pattern": p,
+            "is_regex": args.regex,
+            "case_sensitive": not args.ignore_case,
+            "fragment_aware": fragment,
+        }
+        for p in (args.pattern or [])
+    ]
+
+
+def _init_ray(num_cpus: Optional[int]) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def _add_common(p: argparse.ArgumentParser, need_rules: bool = True) -> None:
+    p.add_argument("--input", required=True, help="turns parquet path or dir")
+    p.add_argument("--num-cpus", type=int, default=None)
+    if need_rules:
+        p.add_argument("-p", "--pattern", action="append", help="rule pattern (repeatable)")
+        p.add_argument("--regex", action="store_true", help="patterns are regexes")
+        p.add_argument("--ignore-case", action="store_true")
+        p.add_argument("--fragment-aware", action="store_true")
+        p.add_argument("--no-fragment-aware", action="store_true")
+        p.add_argument("--rules-file", help="JSON list of rule dicts (overrides -p)")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdfredact-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_plan = sub.add_parser("plan", help="detect only -> plan parquet")
+    _add_common(p_plan)
+    p_plan.add_argument("--out", required=True)
+
+    p_apply = sub.add_parser("apply", help="plan + turns -> redacted parquet")
+    _add_common(p_apply, need_rules=False)
+    p_apply.add_argument("--plan", required=True)
+    p_apply.add_argument("--out", required=True)
+
+    p_red = sub.add_parser("redact", help="fused detect+mask -> redacted parquet")
+    _add_common(p_red)
+    p_red.add_argument("--out", required=True)
+    p_red.add_argument("--save-plan", help="also write the plan table here")
+
+    p_job = sub.add_parser("job", help="resumable lineage-tracked redaction")
+    _add_common(p_job)
+    p_job.add_argument("--out", required=True)
+    p_job.add_argument("--buckets", type=int, default=64)
+    p_job.add_argument("--no-resume", action="store_true")
+    p_job.add_argument("--strict", action="store_true")
+
+    p_synth = sub.add_parser("synth", help="generate the synthetic turns corpus")
+    p_synth.add_argument("--sf", default="sf0.01")
+    p_synth.add_argument("--n-turns", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        from pdfredact_ray.sources.turns import ensure_turns
+
+        path = ensure_turns(args.sf, n_turns=args.n_turns)
+        print(path)
+        return 0
+
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from pdfredact_ray.pipelines.redact import (
+            apply_pipeline,
+            order_restore,
+            plan_pipeline,
+            read_turns,
+            redact_pipeline,
+        )
+
+        if args.cmd == "plan":
+            rules = _build_rules(args)
+            plan = plan_pipeline(read_turns(args.input), rules)
+            plan.write_parquet(args.out)
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(args.out, format="parquet").to_table(columns=["conv_id"])
+            n = tbl.num_rows
+            print(f"Found {n} region(s) to redact")
+            import pyarrow.compute as pc
+
+            for conv, cnt in sorted(
+                zip(*(c.to_pylist() for c in pc.value_counts(tbl.column("conv_id")).flatten()))
+            )[:20]:
+                print(f"  {conv}: {cnt} redaction(s)")
+            return 0
+
+        if args.cmd == "apply":
+            import ray.data as rd
+
+            plan_ds = rd.read_parquet(args.plan)
+            out = apply_pipeline(read_turns(args.input), plan_ds)
+            order_restore(out).drop_columns(["spans"]).write_parquet(args.out)
+            print(f"Applied plan -> {args.out}")
+            return 0
+
+        if args.cmd == "redact":
+            rules = _build_rules(args)
+            if args.save_plan:
+                plan_pipeline(read_turns(args.input), rules).write_parquet(args.save_plan)
+                print(f"Plan saved -> {args.save_plan}")
+            out = redact_pipeline(read_turns(args.input), rules)
+            order_restore(out).drop_columns(["spans"]).write_parquet(args.out)
+            print(f"Redacted -> {args.out}")
+            return 0
+
+        if args.cmd == "job":
+            from pdfredact_ray.state.lineage import redact_job
+
+            metrics = redact_job(
+                args.input,
+                _build_rules(args),
+                args.out,
+                n_buckets=args.buckets,
+                strict=args.strict,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(metrics))
+            return 0
+        return 2
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
