@@ -24,6 +24,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from pdfredact_ray.pipelines.redact import default_concurrency
 from pdfredact_ray.stages.dedup import MinHasher, PairVerifier, SimHasher, bucket_to_pairs, jaccard, word_shingles
 from pdfredact_ray.stages.embed import BruteForceTopK, IVFTopK, build_ivf_centroids, final_topk, normalize
 from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, text_to_binary
@@ -61,22 +62,72 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     candidate-pair set is tiny either way. Returns the verified pair table
     (doc_a, doc_b, jaccard) deduped across bands."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    banded = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_to_pairs, batch_format="pandas")
+    banded = docs.map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=default_concurrency()
+    ).materialize()  # (doc_id, band_id, band_hash) ints — tiny vs the text
+    # Hot buckets via ONE vectorized count shuffle (per-group Python calls on
+    # every bucket would be 100x slower); buckets with >1 member are rare by
+    # LSH construction, so collecting them driver-side is O(near-dups).
+    counts = banded.groupby(["band_id", "band_hash"]).count()
+    hot_tbl = pa.concat_tables(
+        ray.get(
+            counts.map_batches(
+                lambda t: t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
     )
-    # candidate pairs are tiny (LSH by construction); dedup driver-side
-    cand = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-    cand_tbl = pa.Table.from_pandas(cand, preserve_index=False)
+    hot = set(zip(hot_tbl.column("band_id").to_pylist(), hot_tbl.column("band_hash").to_pylist()))
+    if not hot:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        keep = [
+            (b, h) in hot
+            for b, h in zip(t.column("band_id").to_pylist(), t.column("band_hash").to_pylist())
+        ]
+        return t.filter(pa.array(keep))
+
+    members = pa.concat_tables(
+        ray.get(banded.map_batches(only_hot, batch_format="pyarrow").to_arrow_refs())
+    )
+    buckets: dict = {}
+    for d, b, h in zip(
+        members.column("doc_id").to_pylist(),
+        members.column("band_id").to_pylist(),
+        members.column("band_hash").to_pylist(),
+    ):
+        buckets.setdefault((b, h), []).append(d)
+    pairs_set = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:64]  # cap pathological hot buckets
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs_set.add((ids[i], ids[j]))
+    cand = sorted(pairs_set)
+    cand_tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in cand], pa.int64()),
+            "doc_b": pa.array([b for _, b in cand], pa.int64()),
+        }
+    )
     if cand_tbl.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-    texts = {
-        d: t
-        for d, t in zip(
-            *(c.to_pylist() for c in pa.concat_tables(ray.get(docs.to_arrow_refs())).select(["doc_id", "text"]).columns)
+    # pull only the candidate docs' texts (O(near-dups), not O(corpus))
+    cand_ids = set(cand_tbl.column("doc_a").to_pylist()) | set(cand_tbl.column("doc_b").to_pylist())
+    cand_docs = pa.concat_tables(
+        ray.get(
+            docs.map_batches(
+                lambda t: t.filter(
+                    pa.array([d in cand_ids for d in t.column("doc_id").to_pylist()])
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
         )
-    }
+    )
+    texts = dict(
+        zip(cand_docs.column("doc_id").to_pylist(), cand_docs.column("text").to_pylist())
+    )
     verifier = PairVerifier(texts, threshold=threshold)
     return verifier(cand_tbl)
 
@@ -111,7 +162,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pa.T
 def simhash_signatures(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash + 4×16-bit band keys per doc (near-dup bucketing)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, 8)
+        SimHasher, batch_format="pyarrow", concurrency=default_concurrency()
     )
 
 
@@ -135,7 +186,7 @@ def doc_rolling_fingerprints(sf_dir: str) -> rd.Dataset:
 
 def doc_langid(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 8)
+        LangId, batch_format="pyarrow", concurrency=default_concurrency()
     )
 
 
@@ -171,7 +222,7 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> rd.Data
         fn_constructor_kwargs={"queries_ref": q_ref, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: final_topk(g, k=k), batch_format="pandas"
@@ -196,7 +247,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16
         },
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: final_topk(g, k=k), batch_format="pandas"
@@ -218,7 +269,7 @@ def multimodal_decode(sf_dir: str) -> rd.Dataset:
             fn_constructor_kwargs={"fake": True},
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 8),
+            concurrency=default_concurrency(),
         )
     )
 
@@ -231,7 +282,7 @@ def multimodal_frames(sf_dir: str) -> rd.Dataset:
             FrameSampler,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 8),
+            concurrency=default_concurrency(),
         )
     )
 

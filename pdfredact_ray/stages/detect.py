@@ -46,8 +46,10 @@ from pdfredact_ray.functions.rules import CompiledRule, RuleLike, compile_rules
 from pdfredact_ray.functions.runs import is_layout_payload
 from pdfredact_ray.schema import PLAN, REDACTED, SPAN
 
-# conservative static check: can this pattern never match a '\n'?
-_NEWLINE_RISK = re.compile(r"\\s|\\W|\\D|\\B|\n|\[\^|\\x0a|\\n")
+# Conservative static check: can this pattern never match across a '\n'
+# separator, and is it position-independent (no anchors, whose meaning
+# changes inside the concatenated mega-string)?
+_NEWLINE_RISK = re.compile(r"\\s|\\W|\\D|\\B|\n|\[\^|\\x0a|\\n|\^|\$|\\A|\\Z")
 
 # isolated single digit or '-' token → the turn needs real digit-run tokenization
 _DIGIT_RUN_CANDIDATE = re.compile(r"(?<!\S)[0-9-](?!\S)")
@@ -56,7 +58,7 @@ _DIGIT_RUN_CANDIDATE = re.compile(r"(?<!\S)[0-9-](?!\S)")
 def _newline_safe(crule: CompiledRule) -> bool:
     if crule.emit_pattern_text:  # literal: matches '\n' only if it contains one
         return "\n" not in crule.rule.pattern
-    if crule.regex.flags & re.DOTALL:
+    if crule.regex.flags & (re.DOTALL | re.MULTILINE):
         return False
     return _NEWLINE_RISK.search(crule.rule.pattern) is None
 
@@ -99,30 +101,34 @@ class RuleMatcher:
                 out[i] = self._detect_one(t)
             return out
 
-        # Partition turns. A turn needs the full per-turn path (no pre-filter)
-        # when it's a layout payload, or — if fragment rules exist — when
-        # digit-run joining or fragment line ordering can diverge from the
-        # word path: isolated single digit/'-' tokens, or multi-line text.
-        bulk_idx: List[int] = []
+        # Partition turns into three tiers:
+        #   slow — layout payloads, multi-line text (bottom-up word-path flat
+        #          order), or (with fragment rules) isolated digit/'-' tokens
+        #          that trigger pass-2 digit-run joining: full per-turn path.
+        #   scan — single-line but flat != text (collapsed whitespace): the
+        #          mega-scan pre-filters, hits run the full per-turn path.
+        #   fast — flat == text + ' ': token boundaries are exactly the
+        #          whitespace boundaries, so regions are derived straight from
+        #          the mega-scan matches (whole-token claiming via boundary
+        #          extension) with NO per-turn tokenization at all.
         slow_idx: List[int] = []
+        scan_idx: List[int] = []
+        flats: List[str] = []
+        fast_pos: Dict[int, int] = {}  # turn index -> position in flats
         for i, t in enumerate(texts):
             if is_layout_payload(t) or "\n" in t:
-                # payloads need tokenization; multi-line turns have bottom-up
-                # word-path flat order the natural-order pre-filter can't see
                 slow_idx.append(i)
             elif self._has_fragment and _DIGIT_RUN_CANDIDATE.search(t):
                 slow_idx.append(i)
             else:
-                bulk_idx.append(i)
+                f = " ".join(t.split())
+                if f == t:
+                    fast_pos[i] = len(flats)
+                scan_idx.append(i)
+                flats.append(f + " ")
 
-        # Bulk pre-filter over the EXACT searchable strings: for each bulk
-        # turn build flat = ' '.join(text.split()) + ' ' (single-line turns
-        # have identical flat for both word and fragment paths) and join with
-        # '\n'. Newline-safe patterns cannot cross the separator, so one
-        # finditer per rule over the mega-string yields exactly the turns
-        # with >=1 match; those are then fully processed per turn.
         hit: set = set()
-        if bulk_idx:
+        if scan_idx:
             rules_for_bulk = list(self._bulk_word_rules)
             unsafe = list(self._slow_word_rules)
             if self._has_fragment:
@@ -130,14 +136,35 @@ class RuleMatcher:
                     (rules_for_bulk if _newline_safe(c) else unsafe).append(c)
             if unsafe:
                 # a newline-unsafe rule can't use the mega-scan: no pre-filter
-                hit.update(bulk_idx)
+                hit.update(scan_idx)
             else:
-                flats = [" ".join(texts[i].split()) + " " for i in bulk_idx]
+                # Emission-order invariant: iterate rules in the reference's
+                # order (fragment rules first, then word rules, declaration
+                # order within each) so fast-tier appends match _detect_one.
+                # (In this branch every rule is newline-safe, so ruleset.rules
+                # IS the bulk set in the right order.)
+                ordered = list(self.ruleset.rules)
                 mega = "\n".join(flats)
-                bounds = np.cumsum([len(f) + 1 for f in flats])
-                for crule in rules_for_bulk:
+                starts = np.zeros(len(flats), dtype=np.int64)
+                np.cumsum([len(f) + 1 for f in flats[:-1]], out=starts[1:])
+                bounds = starts + np.array([len(f) for f in flats], dtype=np.int64)
+                for crule in ordered:
+                    pat = crule.rule.pattern if crule.emit_pattern_text else None
                     for m in crule.regex.finditer(mega):
-                        hit.add(bulk_idx[int(np.searchsorted(bounds, m.start(), "right"))])
+                        ti = int(np.searchsorted(bounds, m.start(), "right"))
+                        i = scan_idx[ti]
+                        if i in fast_pos:
+                            r = _boundary_region(
+                                flats[ti],
+                                m.start() - int(starts[ti]),
+                                m.end() - int(starts[ti]),
+                                pat if pat is not None else m.group(0),
+                                crule.rule.pattern,
+                            )
+                            if r is not None:
+                                out[i].append(r)
+                        else:
+                            hit.add(i)
         hit.update(slow_idx)
 
         for i in sorted(hit):
@@ -208,6 +235,40 @@ class RuleMatcher:
             },
             schema=REDACTED,
         )
+
+
+def _boundary_region(
+    flat: str, ms: int, me: int, matched_text: str, rule_pattern: str
+) -> Optional[Region]:
+    """Fast-tier region: whole-token claiming by whitespace-boundary extension.
+
+    ``flat`` is the turn text + one trailing space (the searchable string of
+    a single-line, single-space turn — flat == text + ' '). Equivalent to the
+    tokenize → intersect (F1) → line-group (G1) → envelope (G2) chain because
+    token spans here are exactly the maximal non-space runs: the claimed
+    span is [start of first claimed token, end of last claimed token), and a
+    match covering only delimiter spaces claims nothing
+    (PdfPigTextLocator.cs:280-294, :389-432)."""
+    a = ms
+    while a < me and flat[a] == " ":
+        a += 1
+    if a >= me:
+        return None  # match covers only delimiter space -> no claimed token
+    b = me - 1
+    while b >= ms and flat[b] == " ":
+        b -= 1
+    ts = flat.rfind(" ", 0, a) + 1
+    te = flat.find(" ", b + 1)  # always found: flat ends with ' '
+    return Region(
+        start=ts,
+        end=te,
+        line=0,
+        matched_text=matched_text,
+        rule_pattern=rule_pattern,
+        orig_start=ts,
+        orig_end=te,
+        members=(),
+    )
 
 
 # sentinel region marking a poisoned (undetectable) turn in non-strict mode

@@ -32,6 +32,15 @@ def _adversarial_texts(n=400, seed=7):
         "\t\t",
         "edge CONFIDENTIAL",  # match at end of flat
         "123-45-6789",  # whole turn is the match
+        "x123-45-6789y next",  # match strictly inside a token
+        "a 123-45-6789 123-45-6789 b",  # two matches, adjacent tokens
+        "CONFIDENTIAL",  # single-token turn, literal
+        "CONFIDENTIALCONFIDENTIAL twice",  # two literal hits in one token
+        "tok 4532-1234-5678-9010x trail",  # CC inside token with suffix
+        "internal use only",  # cross-token literal = whole turn
+        "pre internal USE only post",  # case-insensitive cross-token
+        "mail a.b@c.de mail2 e.f@g.hi",  # two emails
+        "SECRET SECRET SECRET",  # repeated single-token hits
         make_layout_payload([(d, 0, 100.0 + i * 15.0, 6.672, 8.7) for i, d in enumerate("1234")]),
         make_layout_payload([(d, 0, 100.0 + i * 15.0, 6.672, 8.7) for i, d in enumerate("98765")]),
     ]
