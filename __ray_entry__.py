@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk_bruteforce": C.ann_topk_bruteforce,
         "ann_topk_ivf": C.ann_topk_ivf,
+        "embed_cosine_near_dup": C.embed_cosine_near_dup,
         # --- multimodal plumbing (deterministic decode stubs)
         "multimodal_decode": C.multimodal_decode,
         "multimodal_frames": C.multimodal_frames,
@@ -140,14 +141,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents
         """,
+        # regex counts on BOTH sides run RE2 (Arrow count_substring_regex /
+        # DuckDB regexp_extract_all), so token/punct/stopword counts and the
+        # single-division ratios agree bit-for-bit.
         "doc_quality": r"""
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                     / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio
-            FROM documents
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                       CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_punct,
+                       CAST(len(regexp_extract_all(text,
+                         '(?i)\b(the|and|of|to|a|in|is|for|on|with|as|at|by|it|that|this|be|are|was|or)\b'
+                       )) AS BIGINT) AS n_stopwords
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens, n_digits, n_punct, n_stopwords,
+                   CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS digit_ratio,
+                   CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
+                   CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stopword_ratio
+            FROM c
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
@@ -194,6 +207,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+        """,
+        "embed_cosine_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.4
+            ORDER BY id_a, id_b
         """,
         # redact_full / redact_fragment_digits: fragment tokenizer + layout
         # payloads — not SQL-expressible; rows-only (pytest covers equality).

@@ -39,11 +39,12 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _consume(ds) -> int:
-    """Force full execution of a lazy Dataset; return its row count."""
-    n = 0
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        n += b.num_rows
-    return n
+    """Force full execution of a lazy Dataset; return its row count.
+
+    materialize() executes the whole pipeline distributed and leaves blocks
+    in the object store — unlike iter_batches, which adds a single-threaded
+    driver-side fetch (~2s on 100k rows) that isn't part of the pipeline."""
+    return ds.materialize().count()
 
 
 def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:

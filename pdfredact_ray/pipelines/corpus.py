@@ -26,7 +26,14 @@ from ray.data.aggregate import Count, Sum
 
 from pdfredact_ray.pipelines.redact import default_concurrency
 from pdfredact_ray.stages.dedup import MinHasher, PairVerifier, SimHasher, bucket_to_pairs, jaccard, word_shingles
-from pdfredact_ray.stages.embed import BruteForceTopK, IVFTopK, build_ivf_centroids, final_topk, normalize
+from pdfredact_ray.stages.embed import (
+    BruteForceTopK,
+    CosinePairFinder,
+    IVFTopK,
+    build_ivf_centroids,
+    final_topk,
+    normalize,
+)
 from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, text_to_binary
 from pdfredact_ray.stages.textops import LangId, fingerprints, quality_scores, rolling_fingerprints, token_counts
 
@@ -252,6 +259,29 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16
     return partials.groupby("query_id").map_groups(
         lambda g: final_topk(g, k=k), batch_format="pandas"
     )
+
+
+def embed_cosine_near_dup(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold):
+    broadcast the normalized corpus matrix once, one GEMM per batch. Exact
+    baseline; the scale path is IVF/LSH bucketing (CosinePairFinder doc)."""
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    full = pa.concat_tables(ray.get(emb.to_arrow_refs()))
+    ids = full.column("vec_id").to_pylist()
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in full.column("embedding").to_pylist()]
+    )
+    corpus_ref = ray.put({"ids": ids, "vecs": vecs})
+    pairs = emb.map_batches(
+        CosinePairFinder,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_concurrency(),
+    )
+    return pairs.sort(["id_a", "id_b"])
 
 
 # ----------------------------------------------------------------- multimodal

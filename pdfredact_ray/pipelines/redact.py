@@ -217,22 +217,23 @@ def redact_pipeline(
     )
 
 
-def order_restore(ds: rd.Dataset, num_blocks: Optional[int] = None) -> rd.Dataset:
+def order_restore(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: sort by (conv_id, turn_idx). This is the
     all-to-all exchange of the flagship pipeline; Ray's sort sample-partitions
     the key range, which also spreads whale conversations across several
     blocks (turn_idx is part of the key), bounding skew.
 
-    The sort's shuffle fan-out is blocks², and Ray's default read parallelism
-    (200 blocks) makes small-to-medium inputs pay a 200x200 tiny-task exchange
-    (measured 38s -> 3s on 100k rows by coalescing first). Coalesce to
-    ~2 blocks/core before sorting; at 100 TB the input block count is governed
-    by target_max_block_size and this coalesce becomes a no-op-ish merge.
+    The sort is an all-to-all BARRIER: its input is fully materialized in the
+    object store before any reduce runs, whichever way we feed it. Feeding it
+    from the live streaming executor measured 16-36s of scheduler pathology
+    on 100k rows (repartition+sort stages reporting ~36s wall against ~4s of
+    task time — the upstream actor pool and the shuffle fight over the same
+    CPU slots); an explicit .materialize() boundary first gets the identical
+    data into the store and the same sort then takes 3-4s. Peak memory is
+    unchanged at any scale, so materialize-then-sort is strictly better here.
     For the truly-huge case prefer the lineage job's hash-bucket layout
     (state/lineage.py), which replaces the global sort entirely."""
-    if num_blocks is None:
-        num_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    return ds.repartition(num_blocks).sort(["conv_id", "turn_idx"])
+    return ds.materialize().sort(["conv_id", "turn_idx"])
 
 
 def _specs(rules: Sequence[RuleLike]) -> list:

@@ -76,6 +76,45 @@ def final_topk(group, k: int = 10):
     return g[["query_id", "vec_id", "rank"]]
 
 
+class CosinePairFinder:
+    """Actor stage: embedding-cosine near-duplicate pairs.
+
+    The full normalized corpus matrix is broadcast once (``ray.put`` on the
+    driver, ``ray.get`` per actor in ``__init__``); each batch does one dense
+    GEMM against it and emits pairs ``id_a < id_b`` with ``sim >= threshold``.
+    Exact, O(N²/B) per batch — the verifiable baseline. The 100 TB scale path
+    buckets by IVF cell / LSH band first (see ``IVFTopK`` / MinHash stages)
+    so only in-bucket pairs are scored; documented partitioning assumption:
+    near-dup pairs co-locate in a bucket with high probability.
+
+    Emits only the int64 id pair: cosine floats computed by numpy vs a SQL
+    oracle differ in the last ulp (summation order), so the float itself is
+    not hash-comparable; pair membership is stable unless a pair's sim sits
+    within ~1e-12 of the threshold.
+    """
+
+    def __init__(self, corpus_ref, threshold: float = 0.9):
+        import ray
+
+        c = ray.get(corpus_ref) if not isinstance(corpus_ref, dict) else corpus_ref
+        self.ids = np.asarray(c["ids"], dtype=np.int64)
+        self.M = normalize(np.asarray(c["vecs"], dtype=np.float64))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = normalize(_to_matrix(batch.column("embedding")))
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        sims = X @ self.M.T  # (n_batch, N)
+        hit = (sims >= self.threshold) & (vec_ids[:, None] < self.ids[None, :])
+        bi, ci = np.nonzero(hit)
+        return pa.table(
+            {
+                "id_a": pa.array(vec_ids[bi], type=pa.int64()),
+                "id_b": pa.array(self.ids[ci], type=pa.int64()),
+            }
+        )
+
+
 def build_ivf_centroids(sample: np.ndarray, n_cells: int, seed: int = 5) -> np.ndarray:
     """Seeded init + one Lloyd step over the driver-side sample."""
     rng = np.random.default_rng(seed)

@@ -31,25 +31,47 @@ def token_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+# Stopword list shared verbatim with the SQL oracle in __ray_entry__.py.
+STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "for", "on", "with",
+    "as", "at", "by", "it", "that", "this", "be", "are", "was", "or",
+)
+# \b-delimited alternation: Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all both run RE2, so counts agree exactly (RE2 has no
+# lookarounds, but \b is supported).
+_STOPWORD_RE = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation, locale-free
+
+
 def quality_scores(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_chars, n_tokens, n_digits, digit_ratio) — quality signals
-    computed with Arrow kernels; ``digit_ratio`` is a single IEEE division so
-    it hashes identically to DuckDB's ``n_digits / n_chars``."""
+    """(doc_id, n_chars, n_tokens, n_digits, n_punct, n_stopwords,
+    digit_ratio, punct_ratio, stopword_ratio) — quality signals computed with
+    Arrow kernels only (no Python per row); every ratio is a single IEEE
+    division so values hash identically to the DuckDB oracle's."""
     text = batch.column("text")
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     n_tokens = pc.cast(pc.count_substring_regex(text, pattern=_TOKEN_RE_SQL), pa.int64())
     n_digits = pc.cast(pc.count_substring_regex(text, pattern="[0-9]"), pa.int64())
-    ratio = pc.divide(
-        pc.cast(n_digits, pa.float64()),
-        pc.max_element_wise(pc.cast(n_chars, pa.float64()), 1.0),
-    )
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=_PUNCT_RE), pa.int64())
+    n_stop = pc.cast(pc.count_substring_regex(text, pattern=_STOPWORD_RE), pa.int64())
+
+    def ratio(num, den):
+        return pc.divide(
+            pc.cast(num, pa.float64()),
+            pc.max_element_wise(pc.cast(den, pa.float64()), 1.0),
+        )
+
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": n_chars,
             "n_tokens": n_tokens,
             "n_digits": n_digits,
-            "digit_ratio": ratio,
+            "n_punct": n_punct,
+            "n_stopwords": n_stop,
+            "digit_ratio": ratio(n_digits, n_chars),
+            "punct_ratio": ratio(n_punct, n_chars),
+            "stopword_ratio": ratio(n_stop, n_tokens),
         }
     )
 
