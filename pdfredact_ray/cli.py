@@ -144,7 +144,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             plan_ds = rd.read_parquet(args.plan)
             out = apply_pipeline(read_turns(args.input), plan_ds)
-            order_restore(out).drop_columns(["spans"]).write_parquet(args.out)
+            order_restore(out.drop_columns(["spans"])).write_parquet(args.out)
             print(f"Applied plan -> {args.out}")
             return 0
 
@@ -154,7 +154,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 plan_pipeline(read_turns(args.input), rules).write_parquet(args.save_plan)
                 print(f"Plan saved -> {args.save_plan}")
             out = redact_pipeline(read_turns(args.input), rules)
-            order_restore(out).drop_columns(["spans"]).write_parquet(args.out)
+            order_restore(out.drop_columns(["spans"])).write_parquet(args.out)
             print(f"Redacted -> {args.out}")
             return 0
 

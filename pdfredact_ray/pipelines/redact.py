@@ -42,12 +42,18 @@ DEFAULT_BATCH_SIZE = 2048
 
 
 def default_concurrency() -> int:
-    """Fixed actor-pool size: cluster CPUs minus headroom for reads/writes."""
+    """Fixed actor-pool size: 3/4 of cluster CPUs, min 1.
+
+    A PROPORTIONAL fraction (not cpus-minus-constant) keeps the actor density
+    identical at every cluster size — a constant headroom gave 4 CPUs only
+    2 detection actors (50%) vs 14/16 (87.5%), which made N-vs-4N scaling
+    comparisons superlinear by construction. The remaining 1/4 feeds read,
+    shuffle and write tasks so no stage starves the others."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    return max(1, cpus - max(2, cpus // 8))
+    return max(1, (3 * cpus) // 4)
 
 # Broadcasting the plan index is cheaper than a shuffle join until the plan
 # stops fitting comfortably in the object store / actor heaps.

@@ -159,7 +159,12 @@ def _turn_text(rng) -> str:
     return " ".join(words)
 
 
-def generate_turns_table(n_turns: int, sf_label: str = "sf", seed: int = DEFAULT_SEED) -> pa.Table:
+def generate_turns_table(
+    n_turns: int,
+    sf_label: str = "sf",
+    seed: int = DEFAULT_SEED,
+    conv_prefix: str = "conv",
+) -> pa.Table:
     rng = _rng(sf_label, seed)
     sizes = _conv_sizes(rng, n_turns)
 
@@ -172,7 +177,7 @@ def generate_turns_table(n_turns: int, sf_label: str = "sf", seed: int = DEFAULT
 
     base_ts = 1_700_000_000_000_000  # fixed epoch micros (no wall clock)
     for c, size in enumerate(sizes):
-        cid = f"conv-{c:07d}"
+        cid = f"{conv_prefix}-{c:07d}"
         conv_start = base_ts + c * 3_600_000_000
         for t in range(size):
             conv_ids.append(cid)
@@ -196,6 +201,47 @@ def generate_turns_table(n_turns: int, sf_label: str = "sf", seed: int = DEFAULT
         schema=TURNS,
     )
     return table
+
+
+def ensure_turns_sharded(
+    label: str,
+    n_turns: int,
+    n_shards: int = 32,
+    base_dir: str = DEFAULT_BASE_DIR,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Large corpus for the scaling benchmark: ``n_shards`` parquet files
+    generated by parallel Ray tasks (caller owns the Ray session — bench.py).
+    Each shard is an independent deterministic corpus with a shard-unique
+    conv-id prefix (no cross-shard collisions); the directory is cached
+    behind a _SUCCESS marker and read back with ray.data.read_parquet(dir),
+    which gives file-level read parallelism for free."""
+    import ray
+
+    out_dir = os.path.join(
+        base_dir, f"{label}-v{GENERATOR_VERSION}-{n_shards}x{n_turns}"
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    per = n_turns // n_shards
+
+    @ray.remote
+    def gen_shard(i: int) -> str:
+        n = per + (n_turns - per * n_shards if i == n_shards - 1 else 0)
+        tbl = generate_turns_table(
+            n, sf_label=f"{label}-shard{i}", seed=seed, conv_prefix=f"c{i:04d}"
+        )
+        path = os.path.join(out_dir, f"shard-{i:05d}.parquet")
+        pq.write_table(tbl, path + ".tmp", row_group_size=max(10_000, n // 4))
+        os.replace(path + ".tmp", path)
+        return path
+
+    ray.get([gen_shard.remote(i) for i in range(n_shards)])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
 
 
 def turns_path(sf_label: str, base_dir: str = DEFAULT_BASE_DIR) -> str:

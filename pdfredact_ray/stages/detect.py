@@ -39,11 +39,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pdfredact_ray.functions.mask import apply_regions, spans_sorted
 from pdfredact_ray.functions.match import Region, detect_turn
 from pdfredact_ray.functions.rules import CompiledRule, RuleLike, compile_rules
-from pdfredact_ray.functions.runs import is_layout_payload
+from pdfredact_ray.functions.runs import LAYOUT_PREFIX, is_layout_payload
 from pdfredact_ray.schema import PLAN, REDACTED, SPAN
 
 # Conservative static check: can this pattern never match across a '\n'
@@ -85,6 +86,59 @@ class RuleMatcher:
             c for c in self.ruleset.word_rules if not _newline_safe(c)
         ]
         self._has_fragment = bool(self.ruleset.fragment_rules)
+        # Arrow/RE2 batch pre-filter (built once per actor): None disables it.
+        self._prefilter_patterns = self._build_prefilter() if fast else None
+
+    # ------------------------------------------------------- arrow prefilter
+
+    def _build_prefilter(self) -> Optional[List[str]]:
+        """RE2 patterns over ``flat + ' '`` whose disjunction is a superset of
+        "this turn has >= 1 match" for SINGLE-LINE turns (where flat equals
+        the searchable text both matcher paths scan; multi-line/layout/
+        digit-run turns are forced candidates separately). Match EXISTENCE is
+        dialect-independent on the RE2∩Python-re subset, so the filter is
+        exact there; any rule RE2 can't compile disables the whole filter
+        (conservative: every row becomes a candidate)."""
+        pats: List[str] = []
+        probe = pa.array(["probe"])
+        for c in self.ruleset.rules:
+            p = re.escape(c.rule.pattern) if c.emit_pattern_text else c.rule.pattern
+            flags = c.regex.flags
+            if flags & re.VERBOSE:
+                return None  # RE2 has no VERBOSE mode
+            prefix = ("i" if flags & re.IGNORECASE else "") + (
+                "s" if flags & re.DOTALL else ""
+            ) + ("m" if flags & re.MULTILINE else "")
+            if prefix:
+                p = f"(?{prefix}){p}"
+            try:
+                pc.match_substring_regex(probe, pattern=p)
+            except Exception:
+                return None
+            pats.append(p)
+        return pats
+
+    def _candidate_mask(self, batch: pa.Table) -> Optional[np.ndarray]:
+        """Boolean mask of turns that might have >= 1 region. None = no
+        pre-filter (all rows must run the Python path). Pure Arrow kernels:
+        rows ruled out here never become Python strings at all — at 100 TB
+        that's the majority of bytes through the stage."""
+        if self._prefilter_patterns is None or not self.ruleset.rules:
+            return None
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # forced candidates: layout payloads, multi-line turns (their
+        # searchable string is NOT the simple flat), fragment digit-runs
+        m = pc.starts_with(text, LAYOUT_PREFIX)
+        m = pc.or_(m, pc.match_substring(text, "\n"))
+        if self._has_fragment:
+            m = pc.or_(m, pc.match_substring_regex(text, r"(^|\s)[0-9-](\s|$)"))
+        flat = pc.replace_substring_regex(text, pattern=r"\s+", replacement=" ")
+        flat = pc.binary_join_element_wise(flat, pa.scalar(" "), "")
+        for p in self._prefilter_patterns:
+            m = pc.or_(m, pc.match_substring_regex(flat, p))
+        return pc.fill_null(m, True).to_numpy(zero_copy_only=False)
 
     # ------------------------------------------------------------------ core
 
@@ -183,11 +237,69 @@ class RuleMatcher:
     # ------------------------------------------------------------------ modes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        regions_per_turn = self._detect_many(texts)
+        mask = self._candidate_mask(batch)
         if self.mode == "plan":
-            return self._emit_plan(batch, regions_per_turn)
-        return self._emit_redacted(batch, texts, regions_per_turn)
+            # only candidate turns can emit plan rows
+            sub = batch if mask is None else batch.take(pa.array(np.flatnonzero(mask)))
+            regions = self._detect_many(sub.column("text").to_pylist())
+            return self._emit_plan(sub, regions)
+        if mask is None:
+            texts = batch.column("text").to_pylist()
+            return self._emit_redacted(batch, texts, self._detect_many(texts))
+        return self._emit_redacted_prefiltered(batch, mask)
+
+    def _emit_redacted_prefiltered(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        """Redact-mode emission where non-candidate rows pass through as pure
+        Arrow (no Python string ever materialized): detect only the candidate
+        subset, then scatter results back to input order via concat + take."""
+        n = batch.num_rows
+        text_col = batch.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = text_col.cast(pa.string())
+        cand_idx = np.flatnonzero(mask)
+        if len(cand_idx) == 0:
+            red = text_col
+            spans = pa.array([[]] * n, type=pa.list_(SPAN))
+            nred = pa.array(np.zeros(n, dtype=np.int32), type=pa.int32())
+        else:
+            texts_sub = text_col.take(pa.array(cand_idx)).to_pylist()
+            red_sub, spans_sub, nred_sub = self._render(
+                texts_sub, self._detect_many(texts_sub)
+            )
+            pass_idx = np.flatnonzero(~mask)
+            perm = np.concatenate([pass_idx, cand_idx])
+            inv = np.empty(n, dtype=np.int64)
+            inv[perm] = np.arange(n)
+            inv_arr = pa.array(inv)
+            red = pa.concat_arrays(
+                [text_col.take(pa.array(pass_idx)), pa.array(red_sub, type=pa.string())]
+            ).take(inv_arr)
+            spans = pa.concat_arrays(
+                [
+                    pa.array([[]] * len(pass_idx), type=pa.list_(SPAN)),
+                    pa.array(spans_sub, type=pa.list_(SPAN)),
+                ]
+            ).take(inv_arr)
+            nred = pa.concat_arrays(
+                [
+                    pa.array(np.zeros(len(pass_idx), dtype=np.int32), type=pa.int32()),
+                    pa.array(nred_sub, type=pa.int32()),
+                ]
+            ).take(inv_arr)
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role"),
+                "tool": batch.column("tool"),
+                "ts": batch.column("ts"),
+                "redacted_text": red,
+                "spans": spans,
+                "n_redactions": nred,
+            },
+            schema=REDACTED,
+        )
 
     def _emit_plan(self, batch: pa.Table, regions_per_turn) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -204,7 +316,9 @@ class RuleMatcher:
                 cols["line"].append(r.line)
         return pa.table(cols, schema=PLAN)
 
-    def _emit_redacted(self, batch: pa.Table, texts, regions_per_turn) -> pa.Table:
+    def _render(
+        self, texts: List[str], regions_per_turn: List[List[Region]]
+    ) -> Tuple[List[str], List[list], List[int]]:
         red_texts: List[str] = []
         spans_col: List[list] = []
         n_red: List[int] = []
@@ -222,6 +336,10 @@ class RuleMatcher:
                 ]
             )
             n_red.append(len(regions))
+        return red_texts, spans_col, n_red
+
+    def _emit_redacted(self, batch: pa.Table, texts, regions_per_turn) -> pa.Table:
+        red_texts, spans_col, n_red = self._render(texts, regions_per_turn)
         return pa.table(
             {
                 "conv_id": batch.column("conv_id"),

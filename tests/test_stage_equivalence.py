@@ -123,3 +123,17 @@ def test_poisoned_row_policy():
     assert out.column("n_redactions").to_pylist()[1] == -1
     assert out.column("redacted_text").to_pylist()[1] == bad  # copy-through
     assert m.poisoned_count == 1
+
+
+def test_non_re2_rule_disables_prefilter_but_stays_exact():
+    """A lookbehind rule can't run on the Arrow/RE2 pre-filter; the matcher
+    must fall back to all-rows-candidate and still match the pure oracle."""
+    rules = RULES + [RedactionRule(r"(?<=pin )\d", is_regex=True)]
+    m = RuleMatcher(rules=[r.to_dict() for r in rules], mode="redact")
+    assert m._prefilter_patterns is None
+    texts = _adversarial_texts(n=80, seed=23)
+    batch = _batch(texts)
+    out = m(batch)
+    rs = compile_rules(rules)
+    for text, red in zip(texts, out.column("redacted_text").to_pylist()):
+        assert red == redact_turn(text, rs)[0]
