@@ -103,7 +103,11 @@ def redact_fragment_digits(sf_dir: str) -> rd.Dataset:
     through the two-pass digit-run tokenizer, so spaced pins ('1 2 3 4')
     match '1234'. Not SQL-expressible — rows-only check; kernel equality is
     pytest-covered."""
-    rules = [RedactionRule("1234"), RedactionRule("98765")]
+    # Explicit fragment-aware regex (the reference's own fixture shape:
+    # FragmentAwareTextLocatorTests.cs:78-106 uses \d{4} + explicit flag):
+    # catches boxed-digit layout payloads AND spaced-pin digit runs, so the
+    # query returns nonzero rows on every generated corpus scale.
+    rules = [RedactionRule(r"\d{4,}", is_regex=True, fragment_aware=True)]
     ds = redact_pipeline(_turns(sf_dir), rules)
 
     def shape(t: pa.Table) -> pa.Table:
