@@ -125,10 +125,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.cmd == "plan":
             rules = _build_rules(args)
             plan = plan_pipeline(read_turns(args.input), rules)
-            plan.write_parquet(args.out)
-            import pyarrow.dataset as pads
+            if args.out.endswith(".json"):
+                # camelCase JSON sidecar for tiny human-review plans (U3)
+                import pyarrow as pa
+                import ray
 
-            tbl = pads.dataset(args.out, format="parquet").to_table(columns=["conv_id"])
+                from pdfredact_ray.extend import write_plan
+
+                tbl_full = pa.concat_tables(ray.get(plan.to_arrow_refs()))
+                write_plan(tbl_full, args.out)
+                tbl = tbl_full.select(["conv_id"])
+            else:
+                plan.write_parquet(args.out)
+                import pyarrow.dataset as pads
+
+                tbl = pads.dataset(args.out, format="parquet").to_table(columns=["conv_id"])
             n = tbl.num_rows
             print(f"Found {n} region(s) to redact")
             import pyarrow.compute as pc
@@ -142,7 +153,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.cmd == "apply":
             import ray.data as rd
 
-            plan_ds = rd.read_parquet(args.plan)
+            if args.plan.endswith(".json"):
+                from pdfredact_ray.extend import read_plan
+
+                plan_ds = rd.from_arrow(read_plan(args.plan))
+            else:
+                plan_ds = rd.read_parquet(args.plan)
             out = apply_pipeline(read_turns(args.input), plan_ds)
             order_restore(out.drop_columns(["spans"])).write_parquet(args.out)
             print(f"Applied plan -> {args.out}")

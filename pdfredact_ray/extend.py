@@ -1,0 +1,147 @@
+"""User-extension surface (SURVEY.md §2 U1-U3).
+
+The reference exposes three seams and this module re-expresses each:
+
+- U1 ``ITextLocator`` (/root/reference/src/PdfRedact.Core/Services/
+  ITextLocator.cs:8-17) -> ``Detector`` protocol: per-turn region detection
+  given a compiled RuleSet. Registered by name so pipelines compose
+  detection backends; ``RuleMatcher(detector="...")`` resolves here.
+- U2 ``IMaskApplicator`` (IMaskApplicator.cs:8-16) -> ``Masker`` protocol:
+  ``(text, regions) -> redacted_text``. The default "block" masker is the
+  interval-merge + opaque-fill kernel (K1-K3).
+- U3 ``IRedactionPlanSerializer`` (RedactionPlanSerializer.cs:9-24) -> plan
+  I/O behind ``write_plan`` / ``read_plan``: partitioned parquet by default,
+  or a camelCase-JSON sidecar mirroring the reference plan format
+  (RedactionPlanSerializer.cs:31-58 writes camelCase indented JSON and
+  creates parent dirs; :61-82 raises on a missing file) for tiny
+  human-review plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Protocol, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdfredact_ray.functions.mask import apply_regions
+from pdfredact_ray.functions.match import Region, detect_turn
+from pdfredact_ray.functions.rules import RuleSet
+from pdfredact_ray.schema import PLAN
+
+
+class Detector(Protocol):
+    """U1: per-turn detection backend. Returns one region list per text."""
+
+    def __call__(self, texts: Sequence[str], ruleset: RuleSet) -> List[List[Region]]:
+        ...
+
+
+class Masker(Protocol):
+    """U2: mask materialization backend. Must be the identity for an empty
+    region list — the batch pre-filter routes matchless turns around the
+    masker entirely (copy-through, S5 semantics)."""
+
+    def __call__(self, text: str, regions: Sequence[Region]) -> str:
+        ...
+
+
+_DETECTORS: Dict[str, Detector] = {}
+_MASKERS: Dict[str, Masker] = {}
+
+
+def register_detector(name: str) -> Callable[[Detector], Detector]:
+    def deco(fn: Detector) -> Detector:
+        _DETECTORS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_masker(name: str) -> Callable[[Masker], Masker]:
+    def deco(fn: Masker) -> Masker:
+        _MASKERS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_detector(name: str) -> Detector:
+    try:
+        return _DETECTORS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown detector {name!r}; registered: {sorted(_DETECTORS)}"
+        ) from None
+
+
+def get_masker(name: str) -> Masker:
+    try:
+        return _MASKERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown masker {name!r}; registered: {sorted(_MASKERS)}"
+        ) from None
+
+
+@register_detector("rules")
+def rules_detector(texts: Sequence[str], ruleset: RuleSet) -> List[List[Region]]:
+    """Default backend: the reference-semantics rule matcher (M1-M8)."""
+    return [detect_turn(t, ruleset) for t in texts]
+
+
+@register_masker("block")
+def block_masker(text: str, regions: Sequence[Region]) -> str:
+    """Default backend: interval-merge sweep + opaque block fill (K1-K3)."""
+    return apply_regions(text, regions)
+
+
+# --------------------------------------------------------------- plan I/O (U3)
+
+# camelCase field mapping mirroring the reference's plan JSON
+# (RedactionRegion analog per row; RedactionPlanSerializer.cs:31-35).
+_JSON_FIELDS = [
+    ("conv_id", "convId"),
+    ("turn_idx", "turnIdx"),
+    ("start", "start"),
+    ("end", "end"),
+    ("matched_text", "matchedText"),
+    ("rule_pattern", "rulePattern"),
+    ("line", "line"),
+]
+
+
+def write_plan(plan: pa.Table, path: str) -> None:
+    """U3 SavePlan analog: parquet unless ``path`` ends in .json (camelCase
+    indented JSON sidecar). Parent directories are created, as the reference
+    does (RedactionPlanSerializer.cs:44-49)."""
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    if path.endswith(".json"):
+        rows = []
+        cols = {snake: plan.column(snake).to_pylist() for snake, _ in _JSON_FIELDS}
+        for i in range(plan.num_rows):
+            rows.append({camel: cols[snake][i] for snake, camel in _JSON_FIELDS})
+        doc = {"regions": rows, "totalRedactions": plan.num_rows}
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+        return
+    pq.write_table(plan, path)
+
+
+def read_plan(path: str) -> pa.Table:
+    """U3 LoadPlan analog: raises FileNotFoundError on a missing path, like
+    the reference (RedactionPlanSerializer.cs:63-66)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"plan not found: {path}")
+    if path.endswith(".json"):
+        with open(path) as f:
+            doc = json.load(f)
+        rows = doc["regions"]
+        data = {
+            snake: [r[camel] for r in rows] for snake, camel in _JSON_FIELDS
+        }
+        return pa.table(data, schema=PLAN)
+    return pq.read_table(path)

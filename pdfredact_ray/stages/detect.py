@@ -71,12 +71,20 @@ class RuleMatcher:
         mode: str = "redact",
         strict: bool = True,
         fast: bool = True,
+        detector: str = "rules",
+        masker: str = "block",
     ):
         assert mode in ("redact", "plan")
+        from pdfredact_ray.extend import get_detector, get_masker
+
         self.ruleset = compile_rules(rules)
         self.mode = mode
         self.strict = strict
-        self.fast = fast
+        # A custom detection backend (U1) defines its own match semantics, so
+        # the rule-aware fast tiers / RE2 pre-filter only apply to "rules".
+        self._custom_detector = None if detector == "rules" else get_detector(detector)
+        self._masker = get_masker(masker)
+        self.fast = fast and self._custom_detector is None
         self.poisoned_count = 0
         # word rules eligible for the concatenated scan
         self._bulk_word_rules = [
@@ -87,7 +95,9 @@ class RuleMatcher:
         ]
         self._has_fragment = bool(self.ruleset.fragment_rules)
         # Arrow/RE2 batch pre-filter (built once per actor): None disables it.
-        self._prefilter_patterns = self._build_prefilter() if fast else None
+        # Keyed off the RESOLVED self.fast — a custom detector must never be
+        # bypassed by the rule-aware pre-filter.
+        self._prefilter_patterns = self._build_prefilter() if self.fast else None
 
     # ------------------------------------------------------- arrow prefilter
 
@@ -147,6 +157,8 @@ class RuleMatcher:
         (fragment rules first, then word rules, each in declaration order)."""
         n = len(texts)
         out: List[List[Region]] = [[] for _ in range(n)]
+        if self._custom_detector is not None:
+            return self._custom_detector(texts, self.ruleset)
         if not self.ruleset.rules:
             return out
 
@@ -328,7 +340,7 @@ class RuleMatcher:
                 spans_col.append([])
                 n_red.append(-1)
                 continue
-            red_texts.append(apply_regions(text, regions))
+            red_texts.append(self._masker(text, regions))
             spans_col.append(
                 [
                     {"start": r.orig_start, "end": r.orig_end, "rule_pattern": r.rule_pattern}
