@@ -180,3 +180,16 @@ def test_events_sessionize_matches_pandas(ray_session):
     n = ev.groupby("user_id").size()
     assert got.n_sessions.to_dict() == (brk + 1).astype(int).to_dict()
     assert got.n_events.to_dict() == n.astype(int).to_dict()
+
+
+def test_minhash_driver_and_distributed_paths_agree(ray_session):
+    import pdfredact_ray.pipelines.corpus as cc
+
+    fast = cc.minhash_near_dup_pairs(SF, threshold=0.5)
+    saved = cc.DRIVER_BUCKET_MAX_ROWS
+    try:
+        cc.DRIVER_BUCKET_MAX_ROWS = 0  # force the distributed groupby path
+        dist = cc.minhash_near_dup_pairs(SF, threshold=0.5)
+    finally:
+        cc.DRIVER_BUCKET_MAX_ROWS = saved
+    assert fast.equals(dist)
