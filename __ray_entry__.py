@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": C.ann_topk_bruteforce,
         "ann_topk_ivf": C.ann_topk_ivf,
         "embed_cosine_near_dup": C.embed_cosine_near_dup,
+        # --- main-content extraction (HTML boilerplate strip + DOM heuristics)
+        "html_extract_redact": C.html_extract_redact,
         # --- multimodal plumbing (deterministic decode stubs)
         "multimodal_decode": C.multimodal_decode,
         "multimodal_frames": C.multimodal_frames,

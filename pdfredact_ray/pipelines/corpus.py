@@ -328,6 +328,58 @@ def embed_cosine_near_dup(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
     return pairs.sort(["id_a", "id_b"])
 
 
+# ------------------------------------------------- main-content extraction
+
+def html_extract_redact(sf_dir: str) -> rd.Dataset:
+    """Main-content extraction pipeline (the north-star HTML leg): synthetic
+    HTML pages → DOM-heuristic boilerplate strip (HtmlExtractor actor pool)
+    → fused rule redaction over the EXTRACTED text. Extraction and redaction
+    compose as Dataset stages sharing the streaming executor. Rows-only for
+    the driver (DOM parsing is not SQL-expressible); per-page equality vs
+    the generator's expected main text is pytest-covered."""
+    from pdfredact_ray.functions.rules import default_rules
+    from pdfredact_ray.sources.htmldocs import ensure_html_docs
+    from pdfredact_ray.stages.detect import RuleMatcher
+    from pdfredact_ray.stages.extract import HtmlExtractor
+
+    path = ensure_html_docs(sf_dir)
+    # TWO fixed actor pools share this pipeline: size each to half the usual
+    # pool so their sum still fits the cluster (two full-size fixed pools
+    # can't all start on a small cluster and the executor stalls).
+    pool = max(1, default_concurrency() // 2)
+    pages = rd.read_parquet(path, columns=["doc_id", "html"]).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    extracted = pages.map_batches(
+        HtmlExtractor, batch_format="pyarrow", concurrency=pool
+    )
+
+    class _Redact:
+        """Redact the extracted main text (plain RuleMatcher works on any
+        table with a text column; emit a compact result schema here)."""
+
+        def __init__(self):
+            self.rm = RuleMatcher(
+                rules=[r.to_dict() for r in default_rules()], mode="redact"
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            regions = self.rm._detect_many(texts)
+            red, _, nred = self.rm._render(texts, regions)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "main_text_redacted": pa.array(red, type=pa.string()),
+                    "n_redactions": pa.array(nred, type=pa.int32()),
+                    "n_blocks_kept": t.column("n_blocks_kept"),
+                    "n_blocks_dropped": t.column("n_blocks_dropped"),
+                }
+            )
+
+    return extracted.map_batches(_Redact, batch_format="pyarrow", concurrency=pool)
+
+
 # ----------------------------------------------------------------- multimodal
 
 def multimodal_decode(sf_dir: str) -> rd.Dataset:
