@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): the batched fast path (three-tier +
+Arrow/RE2 pre-filter) must equal the pure per-turn oracle on ARBITRARY
+text, and the mask kernel must hold its algebraic invariants (idempotence,
+rule-order independence after interval merge — the K3 guarantee)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfredact_ray.functions.mask import redact_turn
+from pdfredact_ray.functions.rules import RedactionRule, compile_rules
+from pdfredact_ray.stages.detect import RuleMatcher
+
+RULES = [
+    RedactionRule(r"\d{3}-\d{2}-\d{4}", is_regex=True),
+    RedactionRule("CONFIDENTIAL"),
+    RedactionRule("internal use only", case_sensitive=False),
+    RedactionRule("1234"),  # auto-fragment numeric literal
+]
+SPECS = [r.to_dict() for r in RULES]
+RS = compile_rules(RULES)
+
+# text fragments that stress every tier boundary
+_frag = st.sampled_from(
+    [
+        "plain", "words", "CONFIDENTIAL", "confidential", "123-45-6789",
+        "1234", "1 2 3 4", "internal", "use", "only", "Internal Use Only",
+        "-", "5", "x123-45-6789y", "CONFIDENTIALCONFIDENTIAL", "",
+        " ", "  ", "\t", "\n", "a.b@c.de",
+    ]
+)
+_texts = st.lists(_frag, min_size=0, max_size=12).map(" ".join)
+
+
+def _batch(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(n)], type=pa.string()),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+            "role": pa.array(["user"] * n, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array([""] * n, type=pa.string()),
+            "ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+        }
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=8))
+def test_fast_batch_path_equals_pure_oracle(texts):
+    out = RuleMatcher(rules=SPECS, mode="redact")(_batch(texts))
+    for text, red, n in zip(
+        texts,
+        out.column("redacted_text").to_pylist(),
+        out.column("n_redactions").to_pylist(),
+    ):
+        want_red, want_regions = redact_turn(text, RS)
+        assert red == want_red
+        assert n == len(want_regions)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_redaction_is_idempotent(text):
+    """Masking already-masked text must be a fixed point: the mask char
+    can't match any rule, so a second pass changes nothing."""
+    once, _ = redact_turn(text, RS)
+    twice, regions2 = redact_turn(once, RS)
+    assert twice == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_rule_order_independent_masking(text):
+    """K3 interval merge makes the masked output invariant under rule
+    declaration order (region lists differ; masked text must not)."""
+    fwd, _ = redact_turn(text, compile_rules(RULES))
+    rev, _ = redact_turn(text, compile_rules(list(reversed(RULES))))
+    assert fwd == rev
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_mask_preserves_length_and_uncovered_chars(text):
+    red, regions = redact_turn(text, RS)
+    assert len(red) == len(text)
+    covered = np.zeros(len(text), dtype=bool)
+    for r in regions:
+        covered[max(0, r.orig_start) : min(len(text), r.orig_end)] = True
+    for i, (a, b) in enumerate(zip(text, red)):
+        if not covered[i]:
+            assert a == b, i
