@@ -193,3 +193,21 @@ def test_minhash_driver_and_distributed_paths_agree(ray_session):
     finally:
         cc.DRIVER_BUCKET_MAX_ROWS = saved
     assert fast.equals(dist)
+
+
+def test_sharded_turns_generation(ray_session, tmp_path):
+    from pdfredact_ray.sources.turns import ensure_turns_sharded
+    import pyarrow.dataset as pads
+
+    p1 = ensure_turns_sharded("shardtest", 2000, n_shards=4, base_dir=str(tmp_path / "a"))
+    p2 = ensure_turns_sharded("shardtest", 2000, n_shards=4, base_dir=str(tmp_path / "b"))
+    t1 = pads.dataset(p1, format="parquet").to_table()
+    t2 = pads.dataset(p2, format="parquet").to_table()
+    assert t1.num_rows == 2000
+    # deterministic across regenerations
+    assert t1.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).equals(
+        t2.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    # shard-unique conv prefixes: no conv id can span two shards
+    prefixes = {c.split("-")[0] for c in t1.column("conv_id").to_pylist()}
+    assert prefixes == {"c0000", "c0001", "c0002", "c0003"}
