@@ -52,16 +52,107 @@ from pdfredact_ray.schema import PLAN, REDACTED, SPAN
 # changes inside the concatenated mega-string)?
 _NEWLINE_RISK = re.compile(r"\\s|\\W|\\D|\\B|\n|\[\^|\\x0a|\\n|\^|\$|\\A|\\Z")
 
+# Lookarounds make a pattern's matches position-dependent on context outside
+# the match (and can yield zero-width matches the mega-scan cannot attribute).
+_LOOKAROUND = re.compile(r"\(\?=|\(\?!|\(\?<")
+
 # isolated single digit or '-' token → the turn needs real digit-run tokenization
 _DIGIT_RUN_CANDIDATE = re.compile(r"(?<!\S)[0-9-](?!\S)")
+
+# Every character Python's str.split() / str.isspace() treats as whitespace
+# (no whitespace codepoints exist above the BMP). RE2's \s is ASCII-only, so
+# the Arrow flat-text normalization must use this explicit class or the
+# prefilter under-approximates on NBSP / \v / U+2028-separated tokens
+# (silent missed redactions — ADVICE.md round 1).
+_PY_WHITESPACE = "".join(chr(c) for c in range(0x10000) if chr(c).isspace())
+_WS_CLASS = "[" + "".join(f"\\x{{{ord(c):x}}}" for c in _PY_WHITESPACE) + "]"
 
 
 def _newline_safe(crule: CompiledRule) -> bool:
     if crule.emit_pattern_text:  # literal: matches '\n' only if it contains one
-        return "\n" not in crule.rule.pattern
+        p = crule.rule.pattern
+        return bool(p) and "\n" not in p
     if crule.regex.flags & (re.DOTALL | re.MULTILINE):
         return False
+    if _LOOKAROUND.search(crule.rule.pattern):
+        return False
+    # A nullable pattern (can match the empty string, e.g. 'z*') produces
+    # zero-width matches at arbitrary positions — including separator slots
+    # of the concatenated mega-string, where searchsorted attributes them to
+    # a nonexistent turn (IndexError repro, ADVICE.md round 1) — and the
+    # per-turn oracle claims the token CONTAINING an interior empty match,
+    # which _boundary_region cannot reproduce. Route such rules per-turn.
+    if crule.regex.search("") is not None:
+        return False
     return _NEWLINE_RISK.search(crule.rule.pattern) is None
+
+
+def _re2_superset_pattern(pattern: str) -> Optional[str]:
+    """Rewrite a Python-``re`` pattern into an RE2 pattern whose match
+    EXISTENCE is a superset of the Python pattern's on any text — or None if
+    no safe rewrite exists (the caller then disables the whole prefilter).
+
+    Python's perl classes are Unicode-aware while RE2's are ASCII (``\\d`` =
+    ``[0-9]``), so an unrewritten ``\\d{3}`` prefilter would silently drop a
+    turn containing Arabic-Indic digits that the Python matcher redacts —
+    the under-approximation failure class. RE2 has the Unicode property
+    classes to express the Python semantics exactly:
+
+    - ``\\d`` -> ``\\p{Nd}`` (Python \\d is exactly Unicode Nd),
+      ``\\D`` -> ``\\P{Nd}`` (both valid inside classes too).
+    - ``\\w`` -> ``[\\p{L}\\p{N}_]`` (Python \\w = isalnum() + '_' =
+      L* + Nd/Nl/No + '_'), ``\\W`` -> its complement (class-interior
+      ``\\W`` has no RE2 spelling -> give up).
+    - ``\\s`` needs NO rewrite: the flat this runs on is normalized so its
+      only whitespace is ASCII space, where both dialects agree.
+    - ``\\Z`` -> ``\\z`` (same semantics, different spelling).
+    - ``\\b`` is kept only for pure-ASCII patterns: ASCII-word ⊂
+      Unicode-word makes every Python boundary an RE2 boundary there
+      (over-approximation, safe); with non-ASCII pattern chars the boundary
+      can flip meaning -> give up. ``\\B`` inverts that containment -> the
+      RE2 match set can UNDER-approximate -> always give up.
+    """
+    out: List[str] = []
+    in_class = False
+    ascii_only = pattern.isascii()
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            esc = pattern[i + 1]
+            if esc == "d":
+                out.append(r"\p{Nd}")
+            elif esc == "D":
+                out.append(r"\P{Nd}")
+            elif esc == "w":
+                out.append(r"\p{L}\p{N}_" if in_class else r"[\p{L}\p{N}_]")
+            elif esc == "W":
+                if in_class:
+                    return None
+                out.append(r"[^\p{L}\p{N}_]")
+            elif esc == "Z":
+                if in_class:
+                    return None
+                out.append(r"\z")
+            elif esc == "B":
+                return None
+            elif esc == "b" and not in_class:
+                # inside a class \b is backspace in both dialects: keep
+                if not ascii_only:
+                    return None
+                out.append("\\b")
+            else:
+                out.append(ch + esc)
+            i += 2
+            continue
+        if ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 class RuleMatcher:
@@ -102,20 +193,27 @@ class RuleMatcher:
     # ------------------------------------------------------- arrow prefilter
 
     def _build_prefilter(self) -> Optional[List[str]]:
-        """RE2 patterns over ``flat + ' '`` whose disjunction is a superset of
-        "this turn has >= 1 match" for SINGLE-LINE turns (where flat equals
-        the searchable text both matcher paths scan; multi-line/layout/
-        digit-run turns are forced candidates separately). Match EXISTENCE is
-        dialect-independent on the RE2∩Python-re subset, so the filter is
-        exact there; any rule RE2 can't compile disables the whole filter
-        (conservative: every row becomes a candidate)."""
+        """RE2 patterns over the normalized flat (see ``_candidate_mask``)
+        whose disjunction is a superset of "this turn has >= 1 match" for
+        SINGLE-LINE turns. The flat is constructed to EQUAL the searchable
+        text both matcher paths scan (so even anchored ``^``/``$`` patterns
+        filter exactly); multi-line/layout/digit-run turns are forced
+        candidates separately. Python-only escapes are rewritten into
+        Unicode-correct RE2 supersets (``_re2_superset_pattern``); any rule
+        that can't be rewritten or that RE2 can't compile disables the whole
+        filter (conservative: every row becomes a candidate)."""
         pats: List[str] = []
         probe = pa.array(["probe"])
         for c in self.ruleset.rules:
-            p = re.escape(c.rule.pattern) if c.emit_pattern_text else c.rule.pattern
             flags = c.regex.flags
             if flags & re.VERBOSE:
                 return None  # RE2 has no VERBOSE mode
+            if c.emit_pattern_text:
+                p: Optional[str] = re.escape(c.rule.pattern)
+            else:
+                p = _re2_superset_pattern(c.rule.pattern)
+                if p is None:
+                    return None
             prefix = ("i" if flags & re.IGNORECASE else "") + (
                 "s" if flags & re.DOTALL else ""
             ) + ("m" if flags & re.MULTILINE else "")
@@ -132,7 +230,14 @@ class RuleMatcher:
         """Boolean mask of turns that might have >= 1 region. None = no
         pre-filter (all rows must run the Python path). Pure Arrow kernels:
         rows ruled out here never become Python strings at all — at 100 TB
-        that's the majority of bytes through the stage."""
+        that's the majority of bytes through the stage.
+
+        The flat is built to equal the per-turn searchable text exactly for
+        single-line turns: collapse every PYTHON-whitespace run (not RE2's
+        ASCII ``\\s``) to one space, trim, then append the single trailing
+        space ``build_searchable`` emits. Leading whitespace previously
+        leaked into the flat and broke ``^``-anchored rules (silent missed
+        redactions — the round-1 prefilter superset violation)."""
         if self._prefilter_patterns is None or not self.ruleset.rules:
             return None
         text = batch.column("text")
@@ -142,10 +247,13 @@ class RuleMatcher:
         # searchable string is NOT the simple flat), fragment digit-runs
         m = pc.starts_with(text, LAYOUT_PREFIX)
         m = pc.or_(m, pc.match_substring(text, "\n"))
-        if self._has_fragment:
-            m = pc.or_(m, pc.match_substring_regex(text, r"(^|\s)[0-9-](\s|$)"))
-        flat = pc.replace_substring_regex(text, pattern=r"\s+", replacement=" ")
+        flat = pc.replace_substring_regex(text, pattern=_WS_CLASS + "+", replacement=" ")
+        flat = pc.utf8_trim(flat, " ")
         flat = pc.binary_join_element_wise(flat, pa.scalar(" "), "")
+        if self._has_fragment:
+            # isolated single digit / '-' token -> digit-run joining can make
+            # the fragment searchable text differ from the flat: force.
+            m = pc.or_(m, pc.match_substring_regex(flat, r"(^| )[0-9-] "))
         for p in self._prefilter_patterns:
             m = pc.or_(m, pc.match_substring_regex(flat, p))
         return pc.fill_null(m, True).to_numpy(zero_copy_only=False)
@@ -218,6 +326,10 @@ class RuleMatcher:
                     pat = crule.rule.pattern if crule.emit_pattern_text else None
                     for m in crule.regex.finditer(mega):
                         ti = int(np.searchsorted(bounds, m.start(), "right"))
+                        if ti >= len(scan_idx):
+                            # unreachable for non-nullable newline-safe rules
+                            # (defensive: never IndexError on a rule-audit gap)
+                            continue
                         i = scan_idx[ti]
                         if i in fast_pos:
                             r = _boundary_region(

@@ -30,6 +30,12 @@ def _adversarial_texts(n=400, seed=7):
         "",
         "   ",
         "\t\t",
+        "  123-45-6789 padded",  # leading whitespace (anchored-rule repro class)
+        "trailing CONFIDENTIAL   ",  # trailing whitespace
+        "x a\xa0b y",  # NBSP is Python whitespace but not RE2 \s
+        "v\vtab 123-45-6789",  # vertical tab token split
+        "nb\xa0sp internal\xa0use\xa0only end",  # cross-token literal over NBSP
+        "u2028 sep CONFIDENTIAL",  # unicode line separator (not a \n line)
         "edge CONFIDENTIAL",  # match at end of flat
         "123-45-6789",  # whole turn is the match
         "x123-45-6789y next",  # match strictly inside a token
@@ -123,6 +129,88 @@ def test_poisoned_row_policy():
     assert out.column("n_redactions").to_pylist()[1] == -1
     assert out.column("redacted_text").to_pylist()[1] == bad  # copy-through
     assert m.poisoned_count == 1
+
+
+ANCHORED_RULES = [
+    RedactionRule(r"^\d{3}", is_regex=True),  # round-1 repro: ' 123 foo'
+    RedactionRule(r"^abc", is_regex=True),
+    RedactionRule(r"end$", is_regex=True),
+    RedactionRule(r"\Afront", is_regex=True),
+    RedactionRule(r"tail\Z", is_regex=True),
+]
+
+_ANCHOR_TEXTS = [
+    " 123 foo",  # ADVICE.md verified repro: must mask ' ███ foo'
+    "123 foo",
+    "\t\xa0abc def",
+    "abc def",
+    "x abc",
+    "the end",
+    "the end  ",
+    "the end .",
+    "front matter",
+    "  front matter",
+    "a tail",
+    "a tail ",  # thin-space padding
+    "no hits here",
+    "",
+]
+
+
+@pytest.mark.parametrize("mode", ["redact", "plan"])
+def test_anchored_rules_fast_equals_oracle(mode):
+    """Anchored patterns on whitespace-padded turns — the confirmed round-1
+    silent-under-redaction class (VERDICT.md 'What's wrong' #1)."""
+    rules = ANCHORED_RULES + default_rules()
+    texts = _ANCHOR_TEXTS + _adversarial_texts(n=120, seed=29)
+    batch = _batch(texts)
+    fast = RuleMatcher(rules=[r.to_dict() for r in rules], mode=mode, fast=True)(batch)
+    slow = RuleMatcher(rules=[r.to_dict() for r in rules], mode=mode, fast=False)(batch)
+    assert fast.equals(slow)
+
+
+def test_anchored_padded_repro_masks():
+    """The exact ADVICE.md repro: rule '^\\d{3}' on ' 123 foo' must mask."""
+    m = RuleMatcher(rules=[RedactionRule(r"^\d{3}", is_regex=True).to_dict()])
+    out = m(_batch([" 123 foo"]))
+    assert out.column("redacted_text").to_pylist() == [" ███ foo"]
+
+
+def test_nbsp_literal_repro_masks():
+    """ADVICE.md repro: literal 'a b' on 'x a\\xa0b y' must mask (NBSP is
+    Python whitespace, so the searchable text is 'x a b y ')."""
+    m = RuleMatcher(rules=[RedactionRule("a b").to_dict()])
+    out = m(_batch(["x a\xa0b y"]))
+    assert out.column("redacted_text").to_pylist() == ["x ███ y"]
+
+
+def test_nullable_pattern_no_crash_and_equal():
+    """Empty-matchable patterns ('z*', '(?:x)?y*') previously crashed the
+    mega-scan (IndexError at end-of-string empty match) or silently dropped
+    interior empty-match token claims."""
+    rules = default_rules() + [
+        RedactionRule(r"z*", is_regex=True),
+        RedactionRule(r"(?:x)?y*", is_regex=True),
+    ]
+    texts = _adversarial_texts(n=100, seed=31) + ["zebra zz", "xy yy", "plain"]
+    batch = _batch(texts)
+    fast = RuleMatcher(rules=[r.to_dict() for r in rules], mode="redact", fast=True)(batch)
+    slow = RuleMatcher(rules=[r.to_dict() for r in rules], mode="redact", fast=False)(batch)
+    assert fast.equals(slow)
+
+
+def test_prefilter_is_superset_of_matches():
+    """Every turn the per-turn oracle finds a region in MUST be a prefilter
+    candidate — the superset contract the round-1 bug violated."""
+    rules = ANCHORED_RULES + RULES
+    m = RuleMatcher(rules=[r.to_dict() for r in rules], mode="redact")
+    assert m._prefilter_patterns is not None
+    texts = _ANCHOR_TEXTS + _adversarial_texts(n=200, seed=37)
+    mask = m._candidate_mask(_batch(texts))
+    rs = compile_rules(rules)
+    for i, text in enumerate(texts):
+        if redact_turn(text, rs)[1]:
+            assert mask[i], f"row {i} has regions but was pre-filtered out: {text!r}"
 
 
 def test_non_re2_rule_disables_prefilter_but_stays_exact():
