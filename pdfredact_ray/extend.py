@@ -110,6 +110,7 @@ _JSON_FIELDS = [
     ("matched_text", "matchedText"),
     ("rule_pattern", "rulePattern"),
     ("line", "line"),
+    ("members", "members"),
 ]
 
 
@@ -141,7 +142,10 @@ def read_plan(path: str) -> pa.Table:
             doc = json.load(f)
         rows = doc["regions"]
         data = {
-            snake: [r[camel] for r in rows] for snake, camel in _JSON_FIELDS
+            # members is optional for pre-members plan files (-> null = use
+            # the envelope fallback); every other field is required
+            snake: [r.get(camel) if snake == "members" else r[camel] for r in rows]
+            for snake, camel in _JSON_FIELDS
         }
         return pa.table(data, schema=PLAN)
     return pq.read_table(path)

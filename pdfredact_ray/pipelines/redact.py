@@ -174,11 +174,13 @@ def _apply_shuffle_join(turns, plan_ds, *, concurrency, batch_size):
         for text, p in zip(texts, packed_col):
             all_spans = []
             if p:
+                # (start, end, rule_pattern, members-or-None) — lists/None
+                # round-trip through the packed-JSON combiner unchanged
                 all_spans.extend(tuple(s) for s in json.loads(p))
-            all_spans.sort()
+            all_spans.sort(key=lambda x: (x[0], x[1], x[2]))
             red.append(apply_spans_to_text(text, all_spans))
             spans_col.append(
-                [{"start": s, "end": e, "rule_pattern": r} for s, e, r in all_spans]
+                [{"start": s, "end": e, "rule_pattern": r} for s, e, r, _ in all_spans]
             )
             n_red.append(len(all_spans))
         return pa.table(

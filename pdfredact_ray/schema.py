@@ -23,7 +23,11 @@ TURNS = pa.schema(
 # Plan table: one row per region (RedactionRegion analog, RedactionRegion.cs:7-49).
 # start/end are the region's envelope in ORIGIN space — char offsets for plain
 # turns, run indices for @@LAYOUT@@ payload turns — the path-agnostic analog of
-# the reference's geometric bbox (apply needs no re-detection).
+# the reference's geometric bbox (apply needs no re-detection). ``members``
+# records the EXACT payload run indices the region claims (null for plain
+# turns): the [start, end) envelope alone can cover non-member runs when a
+# payload lists its runs out of (line, col) order, and apply must mask only
+# the members (the fused path's apply_regions semantics).
 PLAN = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -33,6 +37,7 @@ PLAN = pa.schema(
         ("matched_text", pa.string()),
         ("rule_pattern", pa.string()),
         ("line", pa.int32()),
+        ("members", pa.list_(pa.int32())),
     ]
 )
 

@@ -2,7 +2,7 @@
 workflow, ApplyCommand analog: /root/reference/src/PdfRedact.CLI/Commands/ApplyCommand.cs:11-88).
 
 The plan side is broadcast: the driver ``ray.put``s a dict
-``(conv_id, turn_idx) -> [(start, end, rule_pattern), ...]`` ONCE; each actor
+``(conv_id, turn_idx) -> [(start, end, rule_pattern, members), ...]`` ONCE; each actor
 reads it from the object store in ``__init__`` (never re-shipped per batch).
 For plans too large to broadcast, ``pipelines.apply`` switches to a
 hash-partitioned ``Dataset.join`` instead of this stage.
@@ -21,7 +21,7 @@ Semantics:
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
 
@@ -29,7 +29,12 @@ from pdfredact_ray.functions.mask import _mask_payload, mask_text, merge_interva
 from pdfredact_ray.functions.runs import is_layout_payload
 from pdfredact_ray.schema import REDACTED, SPAN
 
-PlanIndex = Dict[Tuple[str, int], List[Tuple[int, int, str]]]
+# span tuple: (start, end, rule_pattern, members-or-None). ``members`` is the
+# exact payload run-index list for @@LAYOUT@@ turns (see schema.PLAN) — the
+# [start, end) envelope may cover non-member runs when payload runs are listed
+# out of (line, col) order, and masking range(start, end) would over-redact.
+Span = Tuple[int, int, str, Optional[List[int]]]
+PlanIndex = Dict[Tuple[str, int], List[Span]]
 
 
 def build_plan_index(plan_table: pa.Table) -> PlanIndex:
@@ -40,22 +45,28 @@ def build_plan_index(plan_table: pa.Table) -> PlanIndex:
     starts = plan_table.column("start").to_pylist()
     ends = plan_table.column("end").to_pylist()
     rules = plan_table.column("rule_pattern").to_pylist()
-    for c, t, s, e, r in zip(conv, tidx, starts, ends, rules):
-        index.setdefault((c, t), []).append((s, e, r))
+    if plan_table.schema.get_field_index("members") >= 0:
+        members = plan_table.column("members").to_pylist()
+    else:  # pre-members plan artifact: envelope fallback
+        members = [None] * plan_table.num_rows
+    for c, t, s, e, r, m in zip(conv, tidx, starts, ends, rules, members):
+        index.setdefault((c, t), []).append((s, e, r, m))
     for v in index.values():
-        v.sort()
+        v.sort(key=lambda x: (x[0], x[1], x[2]))
     return index
 
 
-def apply_spans_to_text(text: str, spans: List[Tuple[int, int, str]]) -> str:
+def apply_spans_to_text(text: str, spans: List[Span]) -> str:
     if not spans:
         return text
     if is_layout_payload(text):
         members: List[int] = []
-        for s, e, _ in spans:
-            members.extend(range(s, e))
+        for s, e, _, m in spans:
+            # exact member indices when the plan carries them; envelope
+            # range as the legacy fallback (pre-members plan files)
+            members.extend(m if m is not None else range(s, e))
         return _mask_payload(text, members)
-    return mask_text(text, merge_intervals((s, e) for s, e, _ in spans))
+    return mask_text(text, merge_intervals((s, e) for s, e, _, _ in spans))
 
 
 class Applier:
@@ -78,7 +89,7 @@ class Applier:
             spans = self.plan.get((c, t), [])
             red.append(apply_spans_to_text(text, spans))
             spans_col.append(
-                [{"start": s, "end": e, "rule_pattern": r} for s, e, r in spans]
+                [{"start": s, "end": e, "rule_pattern": r} for s, e, r, _ in spans]
             )
             n_red.append(len(spans))
         return pa.table(

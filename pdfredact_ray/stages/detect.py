@@ -428,7 +428,11 @@ class RuleMatcher:
     def _emit_plan(self, batch: pa.Table, regions_per_turn) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
         tidx = batch.column("turn_idx").to_pylist()
-        cols: Dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "start", "end", "matched_text", "rule_pattern", "line")}
+        # members are payload RUN indices — only meaningful for @@LAYOUT@@
+        # turns (plain fragment-path regions carry char-offset members
+        # internally; the plain masking target is the [start, end) envelope)
+        layout = pc.starts_with(batch.column("text"), LAYOUT_PREFIX).to_pylist()
+        cols: Dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "start", "end", "matched_text", "rule_pattern", "line", "members")}
         for i, regions in enumerate(regions_per_turn):
             for r in spans_sorted([r for r in regions if r is not _POISONED]):
                 cols["conv_id"].append(conv[i])
@@ -438,6 +442,10 @@ class RuleMatcher:
                 cols["matched_text"].append(r.matched_text)
                 cols["rule_pattern"].append(r.rule_pattern)
                 cols["line"].append(r.line)
+                # payload regions always claim >= 1 run; plain regions -> null
+                cols["members"].append(
+                    list(r.members) if (layout[i] and r.members) else None
+                )
         return pa.table(cols, schema=PLAN)
 
     def _render(

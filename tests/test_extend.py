@@ -94,6 +94,8 @@ def test_plan_json_roundtrip(tmp_path):
             "matched_text": ["abc", "SECRET"],
             "rule_pattern": ["abc", "SECRET"],
             "line": pa.array([0, 0], pa.int32()),
+            # one payload-style region with exact members, one plain (null)
+            "members": pa.array([[1, 2, 3], None], pa.list_(pa.int32())),
         },
         schema=PLAN,
     )

@@ -119,6 +119,35 @@ def test_plan_rows_match_oracle():
     assert got == expected
 
 
+def test_plan_apply_out_of_order_payload_masks_members_only():
+    """ADVICE.md round-1 repro: a @@LAYOUT@@ payload listing its runs out of
+    (line, col) order has non-member runs INSIDE the [min, max+1) run-index
+    envelope. The plan must carry exact member indices so apply masks only
+    the matched runs — identical to the fused path."""
+    from pdfredact_ray.stages.apply import build_plan_index, apply_spans_to_text
+
+    # digits of '1234' on line 0, with an unmatched 'X' on line 1 stored at
+    # payload index 1 — inside the members envelope [0, 5)
+    runs = [
+        ("1", 0, 100.0, 6.672, 8.7),
+        ("X", 1, 0.0, 6.672, 8.7),
+        ("2", 0, 115.0, 6.672, 8.7),
+        ("3", 0, 130.0, 6.672, 8.7),
+        ("4", 0, 145.0, 6.672, 8.7),
+    ]
+    text = make_layout_payload(runs)
+    rules = [RedactionRule("1234").to_dict()]
+    fused = RuleMatcher(rules=rules, mode="redact")(_batch([text]))
+    plan = RuleMatcher(rules=rules, mode="plan")(_batch([text]))
+    assert plan.num_rows == 1
+    members = plan.column("members").to_pylist()[0]
+    assert sorted(members) == [0, 2, 3, 4]  # exact members, envelope is [0,5)
+    idx = build_plan_index(plan)
+    applied = apply_spans_to_text(text, idx[("c0", 0)])
+    assert applied == fused.column("redacted_text").to_pylist()[0]
+    assert '"X"' in applied or "X" in applied  # the non-member run survives
+
+
 def test_poisoned_row_policy():
     bad = "@@LAYOUT@@{broken json"
     batch = _batch(["fine text", bad, "SSN: 123-45-6789."])
