@@ -128,6 +128,27 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             lambda: _consume(plan_pipeline(read_turns(turns_path), rules)),
         )
 
+        # M5 automaton claim: detect wall-time ~flat from 6 -> 200 literal
+        # rules (Aho-Corasick engages above AC_MIN_LITERALS; the 6-literal
+        # set stays on C-speed per-rule scans by design).
+        from pdfredact_ray.functions.rules import RedactionRule
+
+        def lit_rules(n):
+            # 2 literals that actually occur in the corpus + (n-2) misses —
+            # the realistic dictionary shape (most entries never fire)
+            return [RedactionRule("CONFIDENTIAL"), RedactionRule("SECRET")] + [
+                RedactionRule(f"DICT_ENTRY_{i:04d}") for i in range(n - 2)
+            ]
+
+        timed(
+            "detect_lit6",
+            lambda: _consume(plan_pipeline(read_turns(turns_path), lit_rules(6))),
+        )
+        timed(
+            "detect_lit200",
+            lambda: _consume(plan_pipeline(read_turns(turns_path), lit_rules(200))),
+        )
+
         def apply_flow():
             plan = plan_pipeline(read_turns(turns_path), rules).materialize()
             return _consume(apply_pipeline(read_turns(turns_path), plan))

@@ -68,6 +68,29 @@ def find_matches(flat: str, crule: CompiledRule) -> List[Match]:
     return [Match(m.start(), m.end(), m.group(0)) for m in crule.regex.finditer(flat)]
 
 
+def matches_per_rule(
+    flat: str, rules: Sequence[CompiledRule], scanner=None
+) -> List[List[Match]]:
+    """Per-rule match lists in rule order. With a LiteralScanner (M5
+    automaton), all eligible literal rules share ONE automaton pass over
+    ``flat``; everything else (regex rules, ineligible literals, texts with
+    expanding casefolds) uses the per-rule compiled-regex scan — both yield
+    identical leftmost non-overlapping matches."""
+    scan_res = None
+    if scanner is not None and any(id(c) in scanner._key for c in rules):
+        scan_res = scanner.scan(flat)
+    out: List[List[Match]] = []
+    for crule in rules:
+        starts = scan_res.starts(crule) if scan_res is not None else None
+        if starts is None:
+            out.append(find_matches(flat, crule))
+        else:
+            pat = crule.rule.pattern
+            n = len(pat)
+            out.append([Match(s, s + n, pat) for s in starts])
+    return out
+
+
 def claim_token_range(
     starts: Sequence[int], ends: Sequence[int], m_start: int, m_end: int
 ) -> Tuple[int, int]:
@@ -121,14 +144,14 @@ class Region:
 
 
 def _regions_for_path(
-    tokens: List[Token], rules: Sequence[CompiledRule]
+    tokens: List[Token], rules: Sequence[CompiledRule], scanner=None
 ) -> List[Region]:
     if not tokens or not rules:
         return []
     flat, starts, ends = build_searchable(tokens)
     regions: List[Region] = []
-    for crule in rules:
-        for m in find_matches(flat, crule):
+    for crule, rule_matches in zip(rules, matches_per_rule(flat, rules, scanner)):
+        for m in rule_matches:
             lo, hi = claim_token_range(starts, ends, m.start, m.end)
             if lo >= hi:
                 continue
@@ -166,10 +189,13 @@ def detect_turn(text: str, ruleset: RuleSet) -> List[Region]:
     if not (ruleset.fragment_rules or ruleset.word_rules):
         return regions
     layout = is_layout_payload(text)
+    scanner = ruleset.literal_scanner
     runs = None
     if ruleset.fragment_rules:
         runs = parse_layout_payload(text) if layout else plain_text_to_runs(text)
-        regions.extend(_regions_for_path(fragment_tokenize(runs), ruleset.fragment_rules))
+        regions.extend(
+            _regions_for_path(fragment_tokenize(runs), ruleset.fragment_rules, scanner)
+        )
     if ruleset.word_rules:
         if layout:
             if runs is None:
@@ -177,5 +203,5 @@ def detect_turn(text: str, ruleset: RuleSet) -> List[Region]:
             word_tokens = word_tokenize_runs(runs)
         else:
             word_tokens = word_tokenize_plain(text)
-        regions.extend(_regions_for_path(word_tokens, ruleset.word_rules))
+        regions.extend(_regions_for_path(word_tokens, ruleset.word_rules, scanner))
     return regions

@@ -130,6 +130,12 @@ class RuleSet:
     The reference processes all fragment-aware rules first, then all
     word-based rules, each in declaration order (PdfPigTextLocator.cs:58-129);
     region emission order follows that, so we keep both sub-lists ordered.
+
+    ``literal_scanner`` (set by ``compile_rules``) is the Aho-Corasick
+    automaton over the eligible literal patterns — one shared pass per text
+    instead of one regex scan per rule — or None when the dictionary is
+    small enough that per-rule compiled-regex scans win (M5; built once per
+    actor because compile_rules runs in stage ``__init__``).
     """
 
     fragment_rules: tuple[CompiledRule, ...]
@@ -150,6 +156,7 @@ class RuleSet:
 
     # set in compile_rules; dataclass(frozen) workaround via object.__setattr__
     _original_order: tuple[RedactionRule, ...] = field(default=(), compare=False)
+    literal_scanner: Optional[object] = field(default=None, compare=False)
 
     def content_hash(self) -> str:
         """Stable hash of the rule specs — stamped into lineage manifests so a
@@ -176,10 +183,21 @@ def compile_rule(rule: RedactionRule) -> CompiledRule:
 
 RuleLike = Union[RedactionRule, dict]
 
+# Below this many eligible literal rules, C-speed per-rule re.finditer scans
+# beat the pure-Python automaton pass; above it the automaton's single
+# O(text) pass wins and keeps detect wall-time ~flat in dictionary size.
+AC_MIN_LITERALS = 12
 
-def compile_rules(rules: Sequence[RuleLike]) -> RuleSet:
+
+def compile_rules(rules: Sequence[RuleLike], literal_engine: str = "auto") -> RuleSet:
     """Compile a rule list into a RuleSet (done ONCE per actor in stage
-    ``__init__`` — the amortized-rule-compilation requirement)."""
+    ``__init__`` — the amortized-rule-compilation requirement).
+
+    ``literal_engine``: "auto" builds the Aho-Corasick literal scanner when
+    >= AC_MIN_LITERALS eligible literal rules exist; "automaton" forces it
+    (any eligible count — used by the equivalence tests); "scan" disables it
+    (per-rule escaped-regex scans, the reference's IndexOf shape)."""
+    assert literal_engine in ("auto", "automaton", "scan")
     norm = tuple(
         r if isinstance(r, RedactionRule) else RedactionRule.from_dict(r) for r in rules
     )
@@ -189,6 +207,12 @@ def compile_rules(rules: Sequence[RuleLike]) -> RuleSet:
         word_rules=tuple(c for c in compiled if not c.fragment),
     )
     object.__setattr__(rs, "_original_order", norm)
+    if literal_engine != "scan":
+        from pdfredact_ray.functions.automaton import LiteralScanner
+
+        eligible = [c for c in compiled if LiteralScanner.handles(c)]
+        if eligible and (literal_engine == "automaton" or len(eligible) >= AC_MIN_LITERALS):
+            object.__setattr__(rs, "literal_scanner", LiteralScanner(eligible))
     return rs
 
 

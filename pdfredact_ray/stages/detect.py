@@ -164,11 +164,12 @@ class RuleMatcher:
         fast: bool = True,
         detector: str = "rules",
         masker: str = "block",
+        literal_engine: str = "auto",
     ):
         assert mode in ("redact", "plan")
         from pdfredact_ray.extend import get_detector, get_masker
 
-        self.ruleset = compile_rules(rules)
+        self.ruleset = compile_rules(rules, literal_engine=literal_engine)
         self.mode = mode
         self.strict = strict
         # A custom detection backend (U1) defines its own match semantics, so
@@ -203,6 +204,11 @@ class RuleMatcher:
         that can't be rewritten or that RE2 can't compile disables the whole
         filter (conservative: every row becomes a candidate)."""
         pats: List[str] = []
+        # Literal dictionaries fold into ONE alternation per case class:
+        # existence of any literal == existence of an alternation match, so
+        # a 500-literal dictionary costs 1-2 Arrow kernel passes, not 500.
+        lit_cs: List[str] = []
+        lit_ci: List[str] = []
         probe = pa.array(["probe"])
         for c in self.ruleset.rules:
             flags = c.regex.flags
@@ -217,13 +223,21 @@ class RuleMatcher:
             prefix = ("i" if flags & re.IGNORECASE else "") + (
                 "s" if flags & re.DOTALL else ""
             ) + ("m" if flags & re.MULTILINE else "")
+            if c.emit_pattern_text and prefix in ("", "i"):
+                (lit_cs if prefix == "" else lit_ci).append(p)
+                continue
             if prefix:
                 p = f"(?{prefix}){p}"
+            pats.append(p)
+        if lit_cs:
+            pats.append("(?:" + "|".join(lit_cs) + ")")
+        if lit_ci:
+            pats.append("(?i)(?:" + "|".join(lit_ci) + ")")
+        for p in pats:
             try:
                 pc.match_substring_regex(probe, pattern=p)
             except Exception:
                 return None
-            pats.append(p)
         return pats
 
     def _candidate_mask(self, batch: pa.Table) -> Optional[np.ndarray]:
@@ -322,10 +336,30 @@ class RuleMatcher:
                 starts = np.zeros(len(flats), dtype=np.int64)
                 np.cumsum([len(f) + 1 for f in flats[:-1]], out=starts[1:])
                 bounds = starts + np.array([len(f) for f in flats], dtype=np.int64)
+                # M5 automaton: ONE shared pass over the mega-string for all
+                # eligible literal rules (occurrences never cross the '\n'
+                # separators, so mega-wide greedy non-overlap == per-turn)
+                scanner = self.ruleset.literal_scanner
+                scan_res = (
+                    scanner.scan(mega)
+                    if scanner is not None
+                    and any(id(c) in scanner._key for c in ordered)
+                    else None
+                )
                 for crule in ordered:
                     pat = crule.rule.pattern if crule.emit_pattern_text else None
-                    for m in crule.regex.finditer(mega):
-                        ti = int(np.searchsorted(bounds, m.start(), "right"))
+                    ac_starts = (
+                        scan_res.starts(crule) if scan_res is not None else None
+                    )
+                    if ac_starts is not None:
+                        plen = len(crule.rule.pattern)
+                        occurrences = ((s, s + plen) for s in ac_starts)
+                    else:
+                        occurrences = (
+                            (m.start(), m.end()) for m in crule.regex.finditer(mega)
+                        )
+                    for m_start, m_end in occurrences:
+                        ti = int(np.searchsorted(bounds, m_start, "right"))
                         if ti >= len(scan_idx):
                             # unreachable for non-nullable newline-safe rules
                             # (defensive: never IndexError on a rule-audit gap)
@@ -334,9 +368,9 @@ class RuleMatcher:
                         if i in fast_pos:
                             r = _boundary_region(
                                 flats[ti],
-                                m.start() - int(starts[ti]),
-                                m.end() - int(starts[ti]),
-                                pat if pat is not None else m.group(0),
+                                m_start - int(starts[ti]),
+                                m_end - int(starts[ti]),
+                                pat if pat is not None else mega[m_start:m_end],
                                 crule.rule.pattern,
                             )
                             if r is not None:
