@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_turn_counts": T.redact_turn_counts,
         "plan_matched_text": T.plan_matched_text,
         "redact_fragment_digits": T.redact_fragment_digits,
+        # two-phase plan -> apply (J1/F2), both join paths, same oracle as
+        # redact_mask_equality — the apply join must reproduce fused masking
+        "apply_mask_equality": T.apply_mask_equality,
+        "apply_mask_equality_shuffle": T.apply_mask_equality_shuffle,
         # --- deduplication
         "dedup_exact": C.dedup_exact,
         "minhash_near_dup_pairs": C.minhash_near_dup_pairs,
@@ -62,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": C.ann_topk_ivf,
         "embed_cosine_near_dup": C.embed_cosine_near_dup,
         # --- main-content extraction (HTML boilerplate strip + DOM heuristics)
+        "html_extract_text": C.html_extract_text,
         "html_extract_redact": C.html_extract_redact,
         # --- multimodal plumbing (deterministic decode stubs)
         "multimodal_decode": C.multimodal_decode,
@@ -83,9 +88,16 @@ def _count_expr(pattern: str, options: str = "") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    # materialize the sf0.01 corpus so DuckDB can read the same parquet the
+    # materialize the sf0.01 corpora so DuckDB can read the same parquet the
     # Ray queries read (driver compares at sf=0.01)
+    from pdfredact_ray.sources.htmldocs import ensure_html_docs
+
+    from pdfredact_ray.sources.binimg import ensure_images, ensure_videos
+
     turns = ensure_turns("sf0.01")
+    htmldocs = ensure_html_docs("sf0.01")
+    images = ensure_images("sf0.01")
+    videos = ensure_videos("sf0.01")
     plain = f"SELECT * FROM read_parquet('{turns}') WHERE {_PLAIN}"
 
     # per-rule (pattern, count-expr) in engine rule_pattern spelling
@@ -109,18 +121,35 @@ def oracle_sql() -> dict[str, str]:
         for p in (_SSN, _EMAIL, _CC)
     )
 
+    # SSN tokens are always the 11-char ssn + '.' (12 chars) and
+    # CONFIDENTIAL is always a standalone 12-char token in this corpus,
+    # so whole-token masking (SURVEY.md §2.1 #3) is a fixed-width replace.
+    mask_equality = f"""
+        SELECT conv_id, turn_idx,
+               replace(
+                 regexp_replace(text, '\\S*{_SSN}\\S*', repeat('█', 12), 'g'),
+                 'CONFIDENTIAL', repeat('█', 12)
+               ) AS redacted_text
+        FROM read_parquet('{turns}') WHERE {_PLAIN}
+    """
+
+    # LangId marker lists — shared verbatim with stages.textops.LangId.MARKERS
+    # (tie-break: first language in sorted(de,en,es,fr,zh) order wins ties,
+    # matching the strict-greater argmax over an initial best of -1).
+    from pdfredact_ray.stages.textops import LangId
+
+    def _lst(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in sorted(LangId.MARKERS[lang])) + "]"
+
+    langs = ("de", "en", "es", "fr", "zh")
+    score = {
+        l: f"len(list_filter(toks, x -> list_contains({_lst(l)}, x)))" for l in langs
+    }
+
     return {
-        # SSN tokens are always the 11-char ssn + '.' (12 chars) and
-        # CONFIDENTIAL is always a standalone 12-char token in this corpus,
-        # so whole-token masking (SURVEY.md §2.1 #3) is a fixed-width replace.
-        "redact_mask_equality": f"""
-            SELECT conv_id, turn_idx,
-                   replace(
-                     regexp_replace(text, '\\S*{_SSN}\\S*', repeat('█', 12), 'g'),
-                     'CONFIDENTIAL', repeat('█', 12)
-                   ) AS redacted_text
-            FROM read_parquet('{turns}') WHERE {_PLAIN}
-        """,
+        "redact_mask_equality": mask_equality,
+        "apply_mask_equality": mask_equality,
+        "apply_mask_equality_shuffle": mask_equality,
         "redact_match_counts": f"""
             WITH plain AS ({plain})
             SELECT * FROM ({match_counts_union}) WHERE n_matches > 0
@@ -166,6 +195,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        # n-gram Jaccard brute-force baseline: 3-token shingles via window
+        # lead(), distinct per doc, pairwise intersect/union. The engine
+        # hashes shingles with crc32 before set ops — Jaccard over distinct
+        # shingle STRINGS is identical absent crc32 collisions (none on this
+        # deterministic corpus; verified bit-for-bit at sf0.01).
+        "ngram_jaccard_pairs": r"""
+            WITH base AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM base
+            ),
+            tri AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            big AS (
+              SELECT doc_id, list_distinct(list(shingle)) AS sh
+              FROM tri WHERE shingle IS NOT NULL GROUP BY doc_id
+            ),
+            small AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM base WHERE len(toks) < 3
+            ),
+            shs AS (SELECT * FROM big UNION ALL SELECT * FROM small),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+              FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CASE WHEN uni = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
+            FROM pairs
+            WHERE (CASE WHEN uni = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / uni END) >= 0.5
+        """,
+        "doc_langid": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[一-鿿]') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(toks) AS n,
+                     {", ".join(f"{score[l]} AS s_{l}" for l in langs)}
+            FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                        WHEN s_fr >= s_zh THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS DOUBLE) / greatest(n, 1) AS marker_ratio
+            FROM s
+        """,
+        # the HTML generator records the expected main text per page — the
+        # extraction leg's exact oracle (the composed extract->redact query
+        # stays rows-only: DOM+fragment redaction is not SQL-expressible)
+        "html_extract_text": f"""
+            SELECT doc_id, expected_main AS main_text
+            FROM read_parquet('{htmldocs}')
+        """,
+        # the image generator stores the decode ground truth (dims + crc32
+        # over row-major RGB) next to each real BMP payload; the query must
+        # actually header-parse/unpad/reorder to reproduce it
+        "multimodal_decode": f"""
+            SELECT doc_id, width, height, n_bytes, checksum
+            FROM read_parquet('{images}')
+        """,
+        "multimodal_frames": f"""
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS frame_idx, cs AS checksum
+            FROM (
+              SELECT doc_id, unnest(frame_checksums) AS cs,
+                     generate_subscripts(frame_checksums, 1) AS i
+              FROM read_parquet('{videos}')
+            )
+            WHERE (i - 1) % 4 = 0
         """,
         "events_tumbling_window": """
             SELECT user_id,
@@ -220,6 +327,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # redact_full / redact_fragment_digits: fragment tokenizer + layout
         # payloads — not SQL-expressible; rows-only (pytest covers equality).
-        # minhash/simhash/rollhash/langid/ivf/multimodal: hash/heuristic/
-        # approximate kernels — rows-only by design.
+        # minhash/simhash/rollhash/ivf: hash/approximate kernels — rows-only
+        # by design (pytest holds their brute-force/recall oracles).
     }

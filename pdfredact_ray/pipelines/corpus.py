@@ -34,7 +34,7 @@ from pdfredact_ray.stages.embed import (
     final_topk,
     normalize,
 )
-from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, text_to_binary
+from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder
 from pdfredact_ray.stages.textops import LangId, fingerprints, quality_scores, rolling_fingerprints, token_counts
 
 
@@ -330,33 +330,50 @@ def embed_cosine_near_dup(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
 
 # ------------------------------------------------- main-content extraction
 
+def _html_extracted(sf_dir: str, pool: int) -> rd.Dataset:
+    from pdfredact_ray.sources.htmldocs import ensure_html_docs
+    from pdfredact_ray.stages.extract import HtmlExtractor
+
+    path = ensure_html_docs(sf_dir)
+    pages = rd.read_parquet(path, columns=["doc_id", "html"]).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    return pages.map_batches(HtmlExtractor, batch_format="pyarrow", concurrency=pool)
+
+
+def html_extract_text(sf_dir: str) -> rd.Dataset:
+    """Main-content extraction alone: (doc_id, main_text). The generator
+    records the expected main text per page, so this has an exact SQL oracle
+    (SELECT doc_id, expected_main) — the extraction leg's hash-green check."""
+    extracted = _html_extracted(sf_dir, pool=default_concurrency())
+    return extracted.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "main_text": t.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def html_extract_redact(sf_dir: str) -> rd.Dataset:
     """Main-content extraction pipeline (the north-star HTML leg): synthetic
     HTML pages → DOM-heuristic boilerplate strip (HtmlExtractor actor pool)
     → fused rule redaction over the EXTRACTED text. Extraction and redaction
     compose as Dataset stages sharing the streaming executor. Rows-only for
-    the driver (DOM parsing is not SQL-expressible); per-page equality vs
-    the generator's expected main text is pytest-covered."""
+    the driver (DOM parsing is not SQL-expressible); the extraction leg's
+    exact check is ``html_extract_text``; per-page equality vs the
+    generator's expected main text is also pytest-covered."""
     from pdfredact_ray.functions.rules import default_rules
-    from pdfredact_ray.sources.htmldocs import ensure_html_docs
     from pdfredact_ray.stages.detect import RuleMatcher
-    from pdfredact_ray.stages.extract import HtmlExtractor
 
-    path = ensure_html_docs(sf_dir)
     # TWO fixed actor pools share this pipeline: size each to half the usual
     # pool so their sum still fits the cluster (two full-size fixed pools
     # can't all start on a small cluster and the executor stalls).
     pool = max(1, default_concurrency() // 2)
-    pages = rd.read_parquet(path, columns=["doc_id", "html"]).map_batches(
-        lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
-    )
-    extracted = pages.map_batches(
-        HtmlExtractor, batch_format="pyarrow", concurrency=pool
-    )
+    extracted = _html_extracted(sf_dir, pool=pool)
 
     class _Redact:
-        """Redact the extracted main text (plain RuleMatcher works on any
-        table with a text column; emit a compact result schema here)."""
+        """Redact the extracted main text via RuleMatcher's public
+        redact_texts composition API; emit a compact result schema."""
 
         def __init__(self):
             self.rm = RuleMatcher(
@@ -364,9 +381,7 @@ def html_extract_redact(sf_dir: str) -> rd.Dataset:
             )
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t.column("text").to_pylist()
-            regions = self.rm._detect_many(texts)
-            red, _, nred = self.rm._render(texts, regions)
+            red, _, nred = self.rm.redact_texts(t.column("text").to_pylist())
             return pa.table(
                 {
                     "doc_id": t.column("doc_id"),
@@ -383,33 +398,39 @@ def html_extract_redact(sf_dir: str) -> rd.Dataset:
 # ----------------------------------------------------------------- multimodal
 
 def multimodal_decode(sf_dir: str) -> rd.Dataset:
-    """Binary-payload decode plumbing: text bytes stand in for image bytes
-    (no codec libs in this env — ImageDecoder(fake=True) is the documented
-    stub); schema/actor/batch-size layout is the real 100 TB shape (small
-    batches for big payloads)."""
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(text_to_binary, batch_format="pyarrow")
-        .map_batches(
-            ImageDecoder,
-            fn_constructor_kwargs={"fake": True},
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=default_concurrency(),
-        )
+    """Binary-image decode: REAL 24-bit BMP payloads (sources.binimg) through
+    the header-parse + unpad + reorder decoder; the projected output
+    (doc_id, width, height, n_bytes, checksum) is oracle-checked against the
+    generator's stored decode ground truth. Small batches for big payloads —
+    the 100 TB memory shape; the feature column (per-channel moments) is
+    pytest-covered and projected out here so the SQL oracle is exact."""
+    from pdfredact_ray.sources.binimg import ensure_images
+
+    path = ensure_images(sf_dir)
+    decoded = rd.read_parquet(path, columns=["doc_id", "payload"]).map_batches(
+        ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=default_concurrency(),
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["doc_id", "width", "height", "n_bytes", "checksum"]),
+        batch_format="pyarrow",
     )
 
 
 def multimodal_frames(sf_dir: str) -> rd.Dataset:
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(text_to_binary, batch_format="pyarrow")
-        .map_batches(
-            FrameSampler,
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=default_concurrency(),
-        )
+    """Frame sampling over concatenated fixed-size pseudo-frames: every 4th
+    frame's crc32 — oracle-checked against the generator's per-frame
+    checksum list (unnest + stride filter)."""
+    from pdfredact_ray.sources.binimg import ensure_videos
+
+    path = ensure_videos(sf_dir)
+    return rd.read_parquet(path, columns=["doc_id", "payload"]).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=default_concurrency(),
     )
 
 

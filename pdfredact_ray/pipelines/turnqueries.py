@@ -23,7 +23,13 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from pdfredact_ray.functions.rules import RedactionRule, default_rules
-from pdfredact_ray.pipelines.redact import order_restore, plan_pipeline, read_turns, redact_pipeline
+from pdfredact_ray.pipelines.redact import (
+    apply_pipeline,
+    order_restore,
+    plan_pipeline,
+    read_turns,
+    redact_pipeline,
+)
 from pdfredact_ray.functions.runs import LAYOUT_PREFIX
 from pdfredact_ray.sources.turns import ensure_turns
 
@@ -65,6 +71,30 @@ def redact_mask_equality(sf_dir: str) -> rd.Dataset:
         lambda t: t.select(["conv_id", "turn_idx", "redacted_text"]),
         batch_format="pyarrow",
     )
+
+
+def _apply_equality(sf_dir: str, broadcast_max_rows: int) -> rd.Dataset:
+    """Two-phase plan -> apply (J1/F2), same oracle as redact_mask_equality:
+    the apply join's masked output must be byte-identical to the fused
+    pipeline's. ``broadcast_max_rows=0`` forces the partitioned shuffle-join
+    path; the default exercises the broadcast-index path."""
+    turns = _plain(_turns(sf_dir))
+    plan = plan_pipeline(turns, MASK_EQUALITY_RULES).materialize()
+    out = apply_pipeline(_plain(_turns(sf_dir)), plan, broadcast_max_rows=broadcast_max_rows)
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "redacted_text"]),
+        batch_format="pyarrow",
+    )
+
+
+def apply_mask_equality(sf_dir: str) -> rd.Dataset:
+    """Broadcast-join apply path (ApplyCommand analog)."""
+    return _apply_equality(sf_dir, broadcast_max_rows=2_000_000)
+
+
+def apply_mask_equality_shuffle(sf_dir: str) -> rd.Dataset:
+    """Partitioned shuffle-join apply path (the large-plan 100 TB shape)."""
+    return _apply_equality(sf_dir, broadcast_max_rows=0)
 
 
 def redact_match_counts(sf_dir: str) -> pa.Table:

@@ -383,6 +383,14 @@ class RuleMatcher:
             out[i] = self._detect_one(texts[i])
         return out
 
+    def redact_texts(self, texts: List[str]) -> Tuple[List[str], List[list], List[int]]:
+        """Public composition API: fused detect+merge+mask over a bare text
+        list -> (redacted_texts, span_dicts, n_redactions). For pipelines
+        that redact a non-turn table (e.g. extracted HTML main text) without
+        the TURNS schema; the Arrow prefilter is a column-level optimization
+        the caller keeps by using ``__call__`` on a TURNS-shaped batch."""
+        return self._render(texts, self._detect_many(texts))
+
     def _detect_one(self, text: str) -> List[Region]:
         try:
             return detect_turn(text, self.ruleset)

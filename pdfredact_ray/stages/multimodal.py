@@ -1,10 +1,14 @@
 """Multimodal (binary-payload) stages.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
-image/audio codec libraries are NOT in this container, so the decode kernels
-are STUBS behind ``fake=True`` deterministic implementations — the Ray-side
-plumbing (schema, actor signature, batch sizing, output layout) is real and
-tested; swapping in a real decoder only changes ``_decode_one``.
+default decode path is a REAL dependency-free 24-bit BMP decoder (stdlib
+struct + numpy — header parse, row unpadding, bottom-up re-order, BGR->RGB
+swap), exercised against ``sources.binimg``'s generated BMPs whose decode
+ground truth (width/height/checksum over row-major RGB) is stored next to
+each payload — the oracle-checkable kernel. Formats that need codec
+libraries (JPEG/PNG/audio) are NOT decodable in this container; the
+``fake=True`` deterministic stand-in remains for plumbing tests of those
+paths and is clearly marked.
 
 Memory note (100 TB posture): binary payload batches must stay SMALL
 (batch_size <= 64 at multi-MB payloads) so batch × concurrency fits worker
@@ -14,11 +18,42 @@ Ray doesn't split them absurdly small.
 
 from __future__ import annotations
 
+import struct
 import zlib
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 import pyarrow as pa
+
+
+def decode_bmp(payload: bytes) -> Tuple[int, int, np.ndarray]:
+    """Decode a 24-bit uncompressed BMP -> (width, height, (h, w, 3) RGB).
+
+    Supports the layout ``sources.binimg.encode_bmp`` writes plus top-down
+    (negative height) variants; raises ValueError on anything else.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (3 * w + 3) // 4 * 4
+    need = data_offset + stride * h
+    if w <= 0 or h <= 0 or len(payload) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1]  # BGR -> RGB
 
 DECODED_SCHEMA = pa.schema(
     [
@@ -35,20 +70,36 @@ DECODED_SCHEMA = pa.schema(
 class ImageDecoder:
     """Actor stage: binary payload -> (dims, checksum, feature vector).
 
-    ``fake=True`` derives deterministic pseudo-dims/features from the bytes;
-    ``fake=False`` raises NotImplementedError (no codec libs in this env).
+    ``fake=False`` (default) is the REAL path: BMP header parse + pixel
+    decode (``decode_bmp``); checksum = crc32 over the decoded row-major RGB
+    bytes (matches the generator's stored ground truth only if unpadding /
+    row order / channel order are all correct) and an 8-dim feature vector
+    of per-channel means+stds and normalized dims — batched model-input
+    extraction in miniature.
+
+    ``fake=True`` is the documented deterministic stand-in for formats whose
+    codecs aren't in this container (JPEG etc.): pseudo-dims/features derived
+    from raw bytes; plumbing-only, never oracle-checked.
     """
 
-    def __init__(self, fake: bool = True, feature_dim: int = 8):
+    def __init__(self, fake: bool = False, feature_dim: int = 8):
         self.fake = fake
         self.dim = feature_dim
 
     def _decode_one(self, payload: bytes):
         if not self.fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/libjpeg — not available here; "
-                "run with fake=True for the deterministic stub"
-            )
+            w, h, px = decode_bmp(payload)
+            rgb = np.ascontiguousarray(px)
+            crc = zlib.crc32(rgb.tobytes()) & 0x7FFFFFFFFFFFFFFF
+            flat = rgb.reshape(-1, 3).astype(np.float64)
+            feat = [
+                *(flat.mean(axis=0) / 255.0),
+                *(flat.std(axis=0) / 255.0),
+                w / 256.0,
+                h / 256.0,
+            ][: self.dim]
+            feat += [0.0] * (self.dim - len(feat))
+            return len(payload), crc, w, h, [float(x) for x in feat]
         crc = zlib.crc32(payload)
         w = 64 + (payload[0] if payload else 0)
         h = 64 + (payload[1] if len(payload) > 1 else 0)

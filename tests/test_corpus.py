@@ -159,14 +159,53 @@ def test_rolling_fingerprints_deterministic(ray_session, docs):
     assert got.rollhash.to_dict() == want.rollhash.to_dict()
 
 
-def test_multimodal_decode_schema_and_determinism(ray_session):
+def test_multimodal_decode_matches_ground_truth(ray_session):
+    """The REAL BMP decode path: the pipeline's decoded dims/checksums must
+    equal the generator's stored decode ground truth (wrong unpadding, row
+    order, or channel order all fail the crc32)."""
     from pdfredact_ray.pipelines.corpus import multimodal_decode, multimodal_frames
+    from pdfredact_ray.sources.binimg import ensure_images, ensure_videos
 
     a = _pdf(multimodal_decode(SF)).sort_values("doc_id").reset_index(drop=True)
-    b = _pdf(multimodal_decode(SF)).sort_values("doc_id").reset_index(drop=True)
-    assert a.equals(b) and len(a) == 500
-    f = _pdf(multimodal_frames(SF))
-    assert {"doc_id", "frame_idx"} <= set(f.columns)
+    truth = (
+        pq.read_table(ensure_images(SF))
+        .select(["doc_id", "width", "height", "n_bytes", "checksum"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a[truth.columns.tolist()].equals(truth) and len(a) == len(truth) > 0
+
+    f = _pdf(multimodal_frames(SF)).sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    vids = pq.read_table(ensure_videos(SF)).to_pandas()
+    want = [
+        (int(r.doc_id), fi, cs)
+        for r in vids.itertuples(index=False)
+        for fi, cs in enumerate(r.frame_checksums)
+        if fi % 4 == 0
+    ]
+    got = list(zip(f.doc_id.astype(int), f.frame_idx.astype(int), f.checksum.astype(int)))
+    assert sorted(got) == sorted(want)
+
+
+def test_bmp_codec_roundtrip():
+    import numpy as np
+
+    from pdfredact_ray.sources.binimg import encode_bmp
+    from pdfredact_ray.stages.multimodal import decode_bmp
+
+    rng = np.random.default_rng(7)
+    for w, h in ((1, 1), (2, 3), (5, 4), (64, 17)):  # odd widths hit padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, out = decode_bmp(encode_bmp(px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, px)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all" * 10)
+    with _pytest.raises(ValueError):
+        decode_bmp(encode_bmp(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))[:30])
 
 
 def test_events_sessionize_matches_pandas(ray_session):
