@@ -48,16 +48,21 @@ def _build_rules(args) -> List[dict]:
     ]
 
 
-def _init_ray(num_cpus: Optional[int]) -> None:
+def _init_ray(num_cpus: Optional[int]) -> bool:
+    """Start a local Ray session if none exists; True iff WE started it (the
+    caller only shuts down a session it owns — in-process callers like the
+    pytest session fixture keep theirs)."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+    if ray.is_initialized():
+        return False
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    return True
 
 
 def _add_common(p: argparse.ArgumentParser, need_rules: bool = True) -> None:
@@ -81,7 +86,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_plan.add_argument("--out", required=True)
 
     p_apply = sub.add_parser("apply", help="plan + turns -> redacted parquet")
-    _add_common(p_apply, need_rules=False)
+    p_apply.add_argument(
+        "--input",
+        help="turns parquet path or dir; defaults to the plan's recorded "
+        "source (the plan self-binds like the reference's sourcePdfPath)",
+    )
+    p_apply.add_argument("--num-cpus", type=int, default=None)
     p_apply.add_argument("--plan", required=True)
     p_apply.add_argument("--out", required=True)
 
@@ -112,7 +122,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import ray
 
-    _init_ray(args.num_cpus)
+    owns_session = _init_ray(args.num_cpus)
     try:
         from pdfredact_ray.pipelines.redact import (
             apply_pipeline,
@@ -124,6 +134,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         if args.cmd == "plan":
             rules = _build_rules(args)
+            from pdfredact_ray.functions.rules import compile_rules
+
+            ruleset_hash = compile_rules(rules).content_hash()
             plan = plan_pipeline(read_turns(args.input), rules)
             if args.out.endswith(".json"):
                 # camelCase JSON sidecar for tiny human-review plans (U3)
@@ -133,12 +146,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                 from pdfredact_ray.extend import write_plan
 
                 tbl_full = pa.concat_tables(ray.get(plan.to_arrow_refs()))
-                write_plan(tbl_full, args.out)
+                write_plan(
+                    tbl_full, args.out,
+                    source_path=args.input, ruleset_hash=ruleset_hash,
+                )
                 tbl = tbl_full.select(["conv_id"])
             else:
                 plan.write_parquet(args.out)
                 import pyarrow.dataset as pads
 
+                from pdfredact_ray.extend import write_plan_dir_meta
+
+                # plan self-binding (RedactionPlan.SourcePdfPath analog)
+                write_plan_dir_meta(args.out, args.input, ruleset_hash)
                 tbl = pads.dataset(args.out, format="parquet").to_table(columns=["conv_id"])
             n = tbl.num_rows
             print(f"Found {n} region(s) to redact")
@@ -153,13 +173,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.cmd == "apply":
             import ray.data as rd
 
+            from pdfredact_ray.extend import read_plan_meta
+
+            meta = read_plan_meta(args.plan)
+            input_path = args.input or meta.get("source_path")
+            if input_path is None:
+                print(
+                    "error: --input not given and the plan records no source "
+                    "(pre-self-binding artifact)",
+                    file=sys.stderr,
+                )
+                return 1
+            if args.input and meta.get("source_path") and args.input != meta["source_path"]:
+                print(
+                    f"warning: --input {args.input!r} differs from the plan's "
+                    f"recorded source {meta['source_path']!r}; using --input",
+                    file=sys.stderr,
+                )
             if args.plan.endswith(".json"):
                 from pdfredact_ray.extend import read_plan
 
                 plan_ds = rd.from_arrow(read_plan(args.plan))
             else:
                 plan_ds = rd.read_parquet(args.plan)
-            out = apply_pipeline(read_turns(args.input), plan_ds)
+            out = apply_pipeline(read_turns(input_path), plan_ds)
             order_restore(out.drop_columns(["spans"])).write_parquet(args.out)
             print(f"Applied plan -> {args.out}")
             return 0
@@ -189,7 +226,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0
         return 2
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Dict, List, Protocol, Sequence
+from typing import Callable, Dict, List, Optional, Protocol, Sequence
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -114,10 +114,21 @@ _JSON_FIELDS = [
 ]
 
 
-def write_plan(plan: pa.Table, path: str) -> None:
+def write_plan(
+    plan: pa.Table,
+    path: str,
+    source_path: Optional[str] = None,
+    ruleset_hash: Optional[str] = None,
+) -> None:
     """U3 SavePlan analog: parquet unless ``path`` ends in .json (camelCase
     indented JSON sidecar). Parent directories are created, as the reference
-    does (RedactionPlanSerializer.cs:44-49)."""
+    does (RedactionPlanSerializer.cs:44-49).
+
+    The plan SELF-BINDS like the reference's (RedactionPlan.SourcePdfPath,
+    RedactionPlan.cs:11): ``source_path`` records the turns input the plan
+    was detected over and ``ruleset_hash`` the ruleset that produced it, so
+    ``apply`` can re-bind its input from the plan and refuse/flag a
+    mismatched pairing instead of trusting the caller."""
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     if path.endswith(".json"):
@@ -125,11 +136,62 @@ def write_plan(plan: pa.Table, path: str) -> None:
         cols = {snake: plan.column(snake).to_pylist() for snake, _ in _JSON_FIELDS}
         for i in range(plan.num_rows):
             rows.append({camel: cols[snake][i] for snake, camel in _JSON_FIELDS})
-        doc = {"regions": rows, "totalRedactions": plan.num_rows}
+        doc = {
+            "sourcePath": source_path,  # reference: sourcePdfPath
+            "rulesetHash": ruleset_hash,
+            "regions": rows,
+            "totalRedactions": plan.num_rows,
+        }
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
         return
-    pq.write_table(plan, path)
+    meta = dict(plan.schema.metadata or {})
+    if source_path is not None:
+        meta[b"pdfredact.source_path"] = source_path.encode()
+    if ruleset_hash is not None:
+        meta[b"pdfredact.ruleset_hash"] = ruleset_hash.encode()
+    pq.write_table(plan.replace_schema_metadata(meta), path)
+
+
+def write_plan_dir_meta(
+    out_dir: str, source_path: Optional[str], ruleset_hash: Optional[str]
+) -> None:
+    """Self-binding sidecar for DISTRIBUTED plan writes (a Ray
+    ``write_parquet`` directory has no single schema-metadata carrier)."""
+    with open(os.path.join(out_dir, "_plan_meta.json"), "w") as f:
+        json.dump({"sourcePath": source_path, "rulesetHash": ruleset_hash}, f, indent=2)
+
+
+def read_plan_meta(path: str) -> dict:
+    """Self-binding metadata of a plan artifact (file or directory):
+    ``{"source_path": ..., "ruleset_hash": ...}`` — empty dict when the
+    artifact predates self-binding."""
+    if os.path.isdir(path):
+        sidecar = os.path.join(path, "_plan_meta.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                doc = json.load(f)
+            return {
+                "source_path": doc.get("sourcePath"),
+                "ruleset_hash": doc.get("rulesetHash"),
+            }
+        return {}
+    if path.endswith(".json"):
+        with open(path) as f:
+            doc = json.load(f)
+        out = {}
+        if doc.get("sourcePath") is not None:
+            out["source_path"] = doc["sourcePath"]
+        if doc.get("rulesetHash") is not None:
+            out["ruleset_hash"] = doc["rulesetHash"]
+        return out
+    meta = pq.read_schema(path).metadata or {}
+    out = {}
+    if b"pdfredact.source_path" in meta:
+        out["source_path"] = meta[b"pdfredact.source_path"].decode()
+    if b"pdfredact.ruleset_hash" in meta:
+        out["ruleset_hash"] = meta[b"pdfredact.ruleset_hash"].decode()
+    return out
 
 
 def read_plan(path: str) -> pa.Table:

@@ -25,12 +25,14 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from pdfredact_ray.pipelines.redact import default_concurrency
-from pdfredact_ray.stages.dedup import MinHasher, PairVerifier, SimHasher, bucket_to_pairs, jaccard, word_shingles
+from pdfredact_ray.stages.dedup import MinHasher, PairVerifier, SimHasher, jaccard, word_shingles
 from pdfredact_ray.stages.embed import (
     BruteForceTopK,
+    CellAssigner,
     CosinePairFinder,
     IVFTopK,
     build_ivf_centroids,
+    cell_cosine_pairs,
     final_topk,
     normalize,
 )
@@ -59,6 +61,35 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     return kept.map_batches(
         lambda t: t.rename_columns(["digest", "doc_id"]), batch_format="pyarrow"
     )
+
+
+def _fused_bucket_key(t: pa.Table) -> pa.Array:
+    """band_id * 2^33 + band_hash as one int64 column (collision-free:
+    band_hash is a crc32 < 2^32, band_id < 16)."""
+    key = pc.add(
+        pc.multiply(pc.cast(t.column("band_id"), pa.int64()), np.int64(1) << 33),
+        pc.cast(t.column("band_hash"), pa.int64()),
+    )
+    return key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+
+
+def _doc_id_key(t: pa.Table) -> pa.Array:
+    k = pc.cast(t.column("doc_id"), pa.int64())
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
+class _KeyFilter:
+    """Actor stage: keep rows whose derived int64 key is in a broadcast value
+    set — a vectorized semi-join (``pc.is_in``), with the value set read from
+    the object store ONCE per actor in ``__init__`` (never re-shipped or
+    re-pickled per task)."""
+
+    def __init__(self, values_ref, key_fn):
+        self.values = ray.get(values_ref) if not isinstance(values_ref, pa.Array) else values_ref
+        self.key_fn = key_fn
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(self.key_fn(t), value_set=self.values))
 
 
 # Banded-signature rows (3 small ints each) up to this count are bucketed
@@ -117,7 +148,11 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     else:
         # distributed path: ONE vectorized count shuffle finds hot buckets
         # (>1 member — rare by LSH construction), then only their members
-        # come back to the driver: O(near-dups), not O(corpus).
+        # come back to the driver: O(near-dups), not O(corpus). All filters
+        # are Arrow kernels over a fused int64 bucket key (band_hash < 2^32,
+        # band_id < 16, so band_id*2^33 + band_hash is collision-free), and
+        # the hot-key set is ray.put once and read per actor in __init__ —
+        # never closure-captured into per-task pickles.
         counts = banded.groupby(["band_id", "band_hash"]).count()
         hot_tbl = pa.concat_tables(
             ray.get(
@@ -127,30 +162,31 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
                 ).to_arrow_refs()
             )
         )
-        hot = set(zip(hot_tbl.column("band_id").to_pylist(), hot_tbl.column("band_hash").to_pylist()))
-        if not hot:
+        if hot_tbl.num_rows == 0:
             return empty
-
-        def only_hot(t: pa.Table) -> pa.Table:
-            keep = [
-                (b, h) in hot
-                for b, h in zip(t.column("band_id").to_pylist(), t.column("band_hash").to_pylist())
-            ]
-            return t.filter(pa.array(keep))
-
+        hot_keys = _fused_bucket_key(hot_tbl)
         members = pa.concat_tables(
-            ray.get(banded.map_batches(only_hot, batch_format="pyarrow").to_arrow_refs())
+            ray.get(
+                banded.map_batches(
+                    _KeyFilter,
+                    fn_constructor_kwargs={
+                        "values_ref": ray.put(hot_keys),
+                        "key_fn": _fused_bucket_key,
+                    },
+                    batch_format="pyarrow",
+                    concurrency=default_concurrency(),
+                ).to_arrow_refs()
+            )
         )
-        buckets: dict = {}
-        for d, b, h in zip(
-            members.column("doc_id").to_pylist(),
-            members.column("band_id").to_pylist(),
-            members.column("band_hash").to_pylist(),
-        ):
-            buckets.setdefault((b, h), []).append(d)
+        key_np = _fused_bucket_key(members).to_numpy().astype(np.int64)
+        did_np = members.column("doc_id").to_numpy().astype(np.int64)
+        order = np.argsort(key_np, kind="stable")
+        key_s, did_s = key_np[order], did_np[order]
+        bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+        bounds = np.append(bounds, len(key_s))
         pairs_set = set()
-        for ids in buckets.values():
-            ids = sorted(set(ids))[:64]  # cap pathological hot buckets
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ids = sorted(set(did_s[a:b].tolist()))[:64]  # cap pathological buckets
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     pairs_set.add((ids[i], ids[j]))
@@ -164,15 +200,25 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
             "doc_b": pa.array([b for _, b in cand], pa.int64()),
         }
     )
-    # pull only the candidate docs' texts (O(near-dups), not O(corpus))
-    cand_ids = set(cand_tbl.column("doc_a").to_pylist()) | set(cand_tbl.column("doc_b").to_pylist())
+    # pull only the candidate docs' texts (O(near-dups), not O(corpus)) —
+    # a vectorized is_in semi-join against the broadcast candidate-id set
+    cand_ids = pa.array(
+        sorted(
+            set(cand_tbl.column("doc_a").to_pylist())
+            | set(cand_tbl.column("doc_b").to_pylist())
+        ),
+        type=pa.int64(),
+    )
     cand_docs = pa.concat_tables(
         ray.get(
             docs.map_batches(
-                lambda t: t.filter(
-                    pa.array([d in cand_ids for d in t.column("doc_id").to_pylist()])
-                ),
+                _KeyFilter,
+                fn_constructor_kwargs={
+                    "values_ref": ray.put(cand_ids),
+                    "key_fn": _doc_id_key,
+                },
                 batch_format="pyarrow",
+                concurrency=default_concurrency(),
             ).to_arrow_refs()
         )
     )
@@ -305,27 +351,70 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16
     )
 
 
-def embed_cosine_near_dup(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold):
-    broadcast the normalized corpus matrix once, one GEMM per batch. Exact
-    baseline; the scale path is IVF/LSH bucketing (CosinePairFinder doc)."""
+# Above this corpus size the exact broadcast-GEMM near-dup path (O(corpus)
+# broadcast per actor + O(N²) similarity work) stops being viable and the
+# IVF-bucketed path takes over — mirroring MinHash's size-adaptive split.
+BROADCAST_EMB_MAX_ROWS = 200_000
+
+
+def embed_cosine_near_dup(
+    sf_dir: str,
+    threshold: float = 0.4,
+    bucketed: Optional[bool] = None,
+    n_cells: int = 16,
+    nprobe: int = 8,
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    Size-adaptive: up to ``BROADCAST_EMB_MAX_ROWS`` the exact path broadcasts
+    the normalized corpus matrix once and does one GEMM per batch (the
+    oracle). Above it — the 100 TB shape — vectors are replicated into their
+    ``nprobe`` nearest IVF cells and pairs are scored in-cell only, bounding
+    both broadcast (centroids, not corpus) and GEMM (per-cell); recall
+    depends on nprobe/n_cells (a pair is caught iff its vectors share a
+    probe cell — with nprobe=n_cells/2 the bucketed path reproduces the
+    exact pair set on the test corpora, pytest-pinned)."""
     emb = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    full = pa.concat_tables(ray.get(emb.to_arrow_refs()))
-    ids = full.column("vec_id").to_pylist()
-    vecs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in full.column("embedding").to_pylist()]
+    if bucketed is None:
+        bucketed = emb.count() > BROADCAST_EMB_MAX_ROWS
+    if not bucketed:
+        full = pa.concat_tables(ray.get(emb.to_arrow_refs()))
+        ids = full.column("vec_id").to_pylist()
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in full.column("embedding").to_pylist()]
+        )
+        corpus_ref = ray.put({"ids": ids, "vecs": vecs})
+        pairs = emb.map_batches(
+            CosinePairFinder,
+            fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=default_concurrency(),
+        )
+        return pairs.sort(["id_a", "id_b"])
+
+    sample_tbl = pa.concat_tables(ray.get(emb.limit(4096).to_arrow_refs()))
+    sample = np.stack(
+        [np.asarray(v, np.float64) for v in sample_tbl.column("embedding").to_pylist()]
     )
-    corpus_ref = ray.put({"ids": ids, "vecs": vecs})
-    pairs = emb.map_batches(
-        CosinePairFinder,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+    cents = build_ivf_centroids(sample, n_cells)
+    assigned = emb.map_batches(
+        CellAssigner,
+        fn_constructor_kwargs={"centroids_ref": ray.put(cents), "nprobe": nprobe},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=default_concurrency(),
     )
-    return pairs.sort(["id_a", "id_b"])
+    pairs = assigned.groupby("cell_id").map_groups(
+        lambda g: cell_cosine_pairs(g, threshold), batch_format="pyarrow"
+    )
+    # a pair sharing >1 probe cell is emitted once per shared cell: dedup
+    dedup = pairs.groupby(["id_a", "id_b"]).count().map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    return dedup.sort(["id_a", "id_b"])
 
 
 # ------------------------------------------------- main-content extraction
@@ -458,28 +547,69 @@ def events_tumbling_window(sf_dir: str) -> rd.Dataset:
     )
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
-    """Sessionization: groupby(user_id) + per-group sorted sweep (a new
-    session starts when the gap to the previous event exceeds the threshold).
-    Per-user event counts are small; whale users would need per-user salting
-    plus a session-stitch pass — documented partitioning assumption."""
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+def sessionize(ev: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+    """Skew-hardened two-stage sessionization (a new session starts when the
+    gap to the previous event exceeds the threshold).
+
+    Stage 1 groups by (user_id, day): each sub-group computes a tiny partial
+    (n_events, breaks-within, first/last ts) — a WHALE user's events split
+    across days, so no single group ever materializes their full history
+    (the round-1 single-group-per-user shape did).
+    Stage 2 groups the per-day partials by user (rows = active days, not
+    events) and stitches: a break also falls between consecutive sub-groups
+    whose boundary gap exceeds the threshold. Exactly equal to the
+    single-sweep lag semantics because splitting a sorted sequence at day
+    boundaries partitions the set of gaps."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group):
-        import pandas as pd
-
-        ts = group["ts"].sort_values().astype("int64").to_numpy()
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
-        return pd.DataFrame(
+    def day_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "n_events": np.array([len(ts)], dtype=np.int64),
+                "user_id": batch.column("user_id"),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+                "ts": batch.column("ts"),
             }
         )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def day_partial(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").cast(pa.int64()).to_numpy())
+        breaks = int((np.diff(ts) > gap_us).sum()) if len(ts) > 1 else 0
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_breaks": pa.array([breaks], pa.int64()),
+                "first_ts": pa.array([int(ts[0])], pa.int64()),
+                "last_ts": pa.array([int(ts[-1])], pa.int64()),
+            }
+        )
+
+    def stitch(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("first_ts").to_numpy())
+        first = group.column("first_ts").to_numpy()[order]
+        last = group.column("last_ts").to_numpy()[order]
+        boundary_breaks = int((first[1:] - last[:-1] > gap_us).sum())
+        n_breaks = int(pc.sum(group.column("n_breaks")).as_py()) + boundary_breaks
+        n_events = int(pc.sum(group.column("n_events")).as_py())
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_sessions": pa.array([1 + n_breaks], pa.int64()),
+                "n_events": pa.array([n_events], pa.int64()),
+            }
+        )
+
+    part = (
+        ev.map_batches(day_key, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .map_groups(day_partial, batch_format="pyarrow")
+    )
+    return part.groupby("user_id").map_groups(stitch, batch_format="pyarrow")
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return sessionize(ev, gap_minutes=gap_minutes)
 
 
 # ------------------------------------------------------------------ lineitem

@@ -130,10 +130,12 @@ def apply_pipeline(
             concurrency=concurrency,
             zero_copy_batch=True,
         )
-    return _apply_shuffle_join(turns, plan_ds, concurrency=concurrency, batch_size=batch_size)
+    return _apply_shuffle_join(
+        turns, plan_ds, plan_rows=plan_rows, concurrency=concurrency, batch_size=batch_size
+    )
 
 
-def _apply_shuffle_join(turns, plan_ds, *, concurrency, batch_size):
+def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
     """Large-plan path: pre-aggregate plan rows per turn into packed span
     lists (combiner before the shuffle), then a hash-partitioned left-outer
     Dataset.join on (conv_id, turn_idx), then mask per row."""
@@ -153,10 +155,14 @@ def _apply_shuffle_join(turns, plan_ds, *, concurrency, batch_size):
         )
 
     packed = plan_ds.map_batches(pack, batch_format="pyarrow", batch_size=65536)
-    # Partition count sized to the cluster: each hash-shuffle aggregator is
-    # an actor needing a CPU slot, so more partitions than cores LIVELOCKS a
-    # small cluster; at scale you want ~2-4x cores for skew smoothing.
-    num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    # Partition count grows with the PLAN (target ~2M rows per partition so
+    # partition state stays bounded at any plan size), capped at 2x cluster
+    # cores: each hash-shuffle aggregator needs a CPU slot, so far more
+    # partitions than cores livelocks a small cluster, while the cap itself
+    # scales with the cluster on a real 4N-node deployment.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    by_rows = -(-max(1, plan_rows) // 2_000_000)  # ceil
+    num_partitions = max(2, min(max(by_rows, cpus // 2), cpus * 2))
     joined = turns.join(
         packed,
         join_type="left_outer",

@@ -90,22 +90,6 @@ class MinHasher:
         )
 
 
-def bucket_to_pairs(group):
-    """map_groups kernel: all unique candidate pairs within one LSH bucket
-    (pandas in / pandas out). Buckets are tiny by construction; a hot bucket
-    (pathological corpus) should be capped — we keep the first 64 docs and
-    count the truncation rather than exploding quadratically."""
-    import pandas as pd
-
-    ids = sorted(set(group["doc_id"].tolist()))[:64]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-
 class PairVerifier:
     """Actor stage: exact shingle-Jaccard verification of candidate pairs.
 

@@ -115,6 +115,58 @@ class CosinePairFinder:
         )
 
 
+class CellAssigner:
+    """map_batches stage: replicate each vector into its ``nprobe`` nearest
+    IVF cells -> (cell_id, vec_id, embedding) rows. The multi-probe
+    replication is what lets the bucketed pair finder catch pairs straddling
+    a cell boundary: a pair is scored iff the two vectors share at least one
+    probe cell (recall knob: nprobe / n_cells). Centroids are broadcast once
+    and read per actor."""
+
+    def __init__(self, centroids_ref, nprobe: int = 4):
+        import ray
+
+        C = centroids_ref if isinstance(centroids_ref, np.ndarray) else ray.get(centroids_ref)
+        self.C = C
+        self.nprobe = min(nprobe, len(C))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = normalize(_to_matrix(batch.column("embedding")))
+        cells = np.argsort(-(X @ self.C.T), axis=1)[:, : self.nprobe]  # (n, nprobe)
+        n = len(X)
+        row_idx = pa.array(np.repeat(np.arange(n), self.nprobe))
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "cell_id": pa.array(cells.reshape(-1).astype(np.int32), type=pa.int32()),
+                "vec_id": batch.column("vec_id").combine_chunks().take(row_idx)
+                if isinstance(batch.column("vec_id"), pa.ChunkedArray)
+                else batch.column("vec_id").take(row_idx),
+                "embedding": emb.take(row_idx),
+            }
+        )
+
+
+def cell_cosine_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """map_groups kernel: exact all-pairs cosine WITHIN one IVF cell
+    (id_a < id_b, sim >= threshold). Cells bound the GEMM to
+    O((N·nprobe/n_cells)²) per group instead of O(N²) overall; emitted pairs
+    are deduped across cells by the caller."""
+    X = normalize(_to_matrix(group.column("embedding")))
+    ids = group.column("vec_id").to_numpy().astype(np.int64)
+    sims = X @ X.T
+    hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+    ai, bi = np.nonzero(hit)
+    return pa.table(
+        {
+            "id_a": pa.array(ids[ai], type=pa.int64()),
+            "id_b": pa.array(ids[bi], type=pa.int64()),
+        }
+    )
+
+
 def build_ivf_centroids(sample: np.ndarray, n_cells: int, seed: int = 5) -> np.ndarray:
     """Seeded init + one Lloyd step over the driver-side sample."""
     rng = np.random.default_rng(seed)
