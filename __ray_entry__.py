@@ -146,6 +146,18 @@ def oracle_sql() -> dict[str, str]:
         l: f"len(list_filter(toks, x -> list_contains({_lst(l)}, x)))" for l in langs
     }
 
+    # SimHash oracle building blocks: per-bit vote sums + bit reassembly.
+    # Bit 63 is masked off by the engine (& 0x7FFF...) so only bits 0..62
+    # are reassembled (also dodges DuckDB's checked 1<<63 overflow).
+    simhash_votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(63)
+    )
+    simhash_rawbits = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS UBIGINT) << {b}) ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(63)
+    )
+
     return {
         "redact_mask_equality": mask_equality,
         "apply_mask_equality": mask_equality,
@@ -250,6 +262,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS pred_lang,
                    CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS DOUBLE) / greatest(n, 1) AS marker_ratio
             FROM s
+        """,
+        # SimHash is fully SQL-expressible because the token hash is
+        # md5[:8] little-endian == DuckDB md5_number_upper (UBIGINT);
+        # 64 per-bit ±1 vote sums reproduce the signature bit-for-bit.
+        "simhash_signatures": rf"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+            ),
+            h AS (SELECT doc_id, md5_number_upper(w) AS hv FROM tok),
+            v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id),
+            raw AS (SELECT doc_id, ({simhash_rawbits}) AS r FROM v),
+            m AS (
+              SELECT doc_id,
+                     CAST(r & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS simhash
+              FROM raw
+            )
+            SELECT d.doc_id, COALESCE(m.simhash, 0) AS simhash,
+                   CAST((COALESCE(m.simhash, 0) >> 0) & 65535 AS INTEGER) AS band0,
+                   CAST((COALESCE(m.simhash, 0) >> 16) & 65535 AS INTEGER) AS band1,
+                   CAST((COALESCE(m.simhash, 0) >> 32) & 65535 AS INTEGER) AS band2,
+                   CAST((COALESCE(m.simhash, 0) >> 48) & 65535 AS INTEGER) AS band3
+            FROM documents d LEFT JOIN m USING (doc_id)
         """,
         # the HTML generator records the expected main text per page — the
         # extraction leg's exact oracle (the composed extract->redact query

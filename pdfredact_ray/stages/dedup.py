@@ -129,10 +129,20 @@ class PairVerifier:
 
 
 class SimHasher:
-    """Actor stage: 64-bit SimHash per doc + 4×16-bit band keys for bucketing."""
+    """Actor stage: 64-bit SimHash per doc + 4×16-bit band keys for bucketing.
+
+    Token hash = first 8 bytes of md5, little-endian — exactly DuckDB's
+    ``md5_number_upper``, which makes the whole signature SQL-expressible
+    (the driver oracle recomputes the per-bit votes bit-for-bit)."""
 
     def __init__(self):
         self.bits = np.arange(64, dtype=np.uint64)
+
+    @staticmethod
+    def token_hash(tok: str) -> int:
+        import hashlib
+
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sims: List[int] = []
@@ -141,12 +151,12 @@ class SimHasher:
             if not toks:
                 sims.append(0)
                 continue
-            hashes = np.array(
-                [zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32) for t in toks],
-                dtype=np.uint64,
-            )
+            hashes = np.array([self.token_hash(t) for t in toks], dtype=np.uint64)
             bits = (hashes[:, None] >> self.bits) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 - len(toks)
+            # int64 BEFORE the subtraction: a uint64 vote count underflows
+            # for minority bits (2*sum < n), silently setting every bit —
+            # caught by the SQL vote oracle, not the determinism test
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
             sim = int(((votes > 0).astype(np.uint64) << self.bits).sum())
             sims.append(sim & 0x7FFFFFFFFFFFFFFF)
         out = batch.select(["doc_id"]).append_column(

@@ -92,6 +92,28 @@ def test_simhash_signatures_deterministic_and_duplicate_consistent(ray_session, 
     # identical text => identical signature
     for _, ids in docs.groupby("text")["doc_id"].agg(list).items():
         assert len({sig[d] for d in ids}) == 1
+    # signatures are real majority votes, not near-all-ones (the uint64
+    # vote-underflow bug the SQL oracle caught set every non-tie bit)
+    ones = [bin(s).count("1") for s in got.simhash]
+    assert 8 < sum(ones) / len(ones) < 56
+
+
+def test_simhash_vote_semantics():
+    """Hand-computed majority vote on a 3-token doc."""
+    from pdfredact_ray.stages.dedup import SimHasher
+
+    toks = ["alpha", "beta", "gamma"]
+    h = [SimHasher.token_hash(t) for t in toks]
+    expect = 0
+    for b in range(64):
+        votes = sum(1 if (x >> b) & 1 else -1 for x in h)
+        if votes > 0:
+            expect |= 1 << b
+    expect &= 0x7FFFFFFFFFFFFFFF
+    tbl = SimHasher()(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": [" ".join(toks)]})
+    )
+    assert tbl.column("simhash").to_pylist() == [expect]
 
 
 def test_embed_cosine_near_dup_matches_numpy(ray_session, embs):
