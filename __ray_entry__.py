@@ -146,6 +146,13 @@ def oracle_sql() -> dict[str, str]:
         l: f"len(list_filter(toks, x -> list_contains({_lst(l)}, x)))" for l in langs
     }
 
+    # Rolling-hash oracle: precomputed B^e mod 2^64 power table. All modular
+    # arithmetic runs in UHUGEINT/HUGEINT (SUM(UHUGEINT) silently goes
+    # through DOUBLE and loses low bits — terms are cast to HUGEINT first).
+    roll_powers = ", ".join(
+        f"({e}, CAST({pow(1_000_003, e, 1 << 64)} AS UHUGEINT))" for e in range(16)
+    )
+
     # SimHash oracle building blocks: per-bit vote sums + bit reassembly.
     # Bit 63 is masked off by the engine (& 0x7FFF...) so only bits 0..62
     # are reassembled (also dodges DuckDB's checked 1<<63 overflow).
@@ -263,6 +270,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS DOUBLE) / greatest(n, 1) AS marker_ratio
             FROM s
         """,
+        # 64-bit polynomial rolling hash (min over 16-byte windows, the
+        # winnowing fingerprint) recomputed in exact UHUGEINT/HUGEINT modular
+        # arithmetic. ascii(char) == utf-8 byte holds because the documents
+        # corpus is ASCII (the engine hashes bytes; DuckDB splits chars).
+        "doc_rolling_fingerprints": rf"""
+            WITH p(e, pw) AS (VALUES {roll_powers}),
+            base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c,
+                     generate_subscripts(string_split(text, ''), 1) AS i, n
+              FROM base
+            ),
+            long_terms AS (
+              SELECT ch.doc_id, w.i0,
+                     CAST((CAST(ascii(ch.c) AS UHUGEINT) * p.pw)
+                          % CAST(18446744073709551616 AS HUGEINT)::UHUGEINT AS HUGEINT) AS term
+              FROM ch
+              JOIN LATERAL (
+                SELECT unnest(generate_series(greatest(1, ch.i - 15), least(ch.i, ch.n - 15))) AS i0
+              ) w ON true
+              JOIN p ON p.e = 15 - (ch.i - w.i0)
+              WHERE ch.n > 16
+            ),
+            long_hash AS (
+              SELECT doc_id, i0,
+                     CAST(SUM(term) % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h
+              FROM long_terms GROUP BY doc_id, i0
+            ),
+            long_min AS (SELECT doc_id, MIN(h) AS h FROM long_hash GROUP BY doc_id),
+            short_terms AS (
+              SELECT ch.doc_id,
+                     CAST((CAST(ascii(ch.c) AS UHUGEINT) * p.pw)
+                          % CAST(18446744073709551616 AS HUGEINT)::UHUGEINT AS HUGEINT) AS term
+              FROM ch JOIN p ON p.e = ch.n - ch.i
+              WHERE ch.n <= 16 AND ch.n > 0
+            ),
+            short_hash AS (
+              SELECT doc_id,
+                     CAST(SUM(term) % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h
+              FROM short_terms GROUP BY doc_id
+            ),
+            allh AS (SELECT * FROM long_min UNION ALL SELECT * FROM short_hash)
+            SELECT b.doc_id,
+                   CAST(COALESCE(a.h, 0) & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS rollhash
+            FROM base b LEFT JOIN allh a USING (doc_id)
+        """,
         # SimHash is fully SQL-expressible because the token hash is
         # md5[:8] little-endian == DuckDB md5_number_upper (UBIGINT);
         # 64 per-bit ±1 vote sums reproduce the signature bit-for-bit.
@@ -359,8 +412,11 @@ def oracle_sql() -> dict[str, str]:
                   ) >= 0.4
             ORDER BY id_a, id_b
         """,
-        # redact_full / redact_fragment_digits: fragment tokenizer + layout
-        # payloads — not SQL-expressible; rows-only (pytest covers equality).
-        # minhash/simhash/rollhash/ivf: hash/approximate kernels — rows-only
-        # by design (pytest holds their brute-force/recall oracles).
+        # Remaining rows-only (6): redact_full / redact_fragment_digits
+        # (fragment tokenizer + layout payloads are not SQL-expressible;
+        # pytest covers byte equality), minhash_near_dup_pairs + ann_topk_ivf
+        # (approximate by construction; pytest holds the brute-force /
+        # recall oracles), html_extract_redact (DOM + fragment redaction;
+        # the extraction leg is hash-checked via html_extract_text), and
+        # entry()'s redact_full flagship shape.
     }

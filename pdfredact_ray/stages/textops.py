@@ -89,8 +89,9 @@ def fingerprints(batch: pa.Table) -> pa.Table:
 
 def rolling_fingerprints(batch: pa.Table, window: int = 16) -> pa.Table:
     """(doc_id, rollhash) — 64-bit polynomial rolling-hash document signature
-    (min of window hashes, a winnowing-style fingerprint). Not SQL-expressible;
-    checked rows-only."""
+    (min of window hashes, a winnowing-style fingerprint). Oracle-checked:
+    the driver recomputes it in DuckDB UHUGEINT/HUGEINT modular arithmetic
+    (see __ray_entry__.oracle_sql)."""
     B = np.uint64(1000003)
     out = []
     for t in batch.column("text").to_pylist():
