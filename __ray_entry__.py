@@ -30,6 +30,11 @@ _EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 _CC = r"\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}"
 _PLAIN = "text NOT LIKE '@@LAYOUT@@%'"
 
+# BPE_TOKEN_RE with SQL quote escaping (the pattern contains ')
+from pdfredact_ray.stages.textops import BPE_TOKEN_RE as _BPE_RAW  # noqa: E402
+
+_BPE_SQL = _BPE_RAW.replace("'", "''")
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: fused detect+merge+mask
@@ -57,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": C.simhash_signatures,
         # --- text analysis
         "doc_token_counts": C.doc_token_counts,
+        "doc_bpe_token_counts": C.doc_bpe_token_counts,
         "doc_quality": C.doc_quality,
         "doc_fingerprints": C.doc_fingerprints,
         "doc_rolling_fingerprints": C.doc_rolling_fingerprints,
@@ -70,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_redact": C.html_extract_redact,
         # --- multimodal plumbing (deterministic decode stubs)
         "multimodal_decode": C.multimodal_decode,
+        "multimodal_resize": C.multimodal_resize,
         "multimodal_frames": C.multimodal_frames,
         # --- windowed / sessionized events + wide aggregate
         "events_tumbling_window": C.events_tumbling_window,
@@ -189,6 +196,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        # both sides run RE2 with the SAME pattern (stages.textops.BPE_TOKEN_RE)
+        "doc_bpe_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         # regex counts on BOTH sides run RE2 (Arrow count_substring_regex /
@@ -350,6 +363,11 @@ def oracle_sql() -> dict[str, str]:
         # actually header-parse/unpad/reorder to reproduce it
         "multimodal_decode": f"""
             SELECT doc_id, width, height, n_bytes, checksum
+            FROM read_parquet('{images}')
+        """,
+        "multimodal_resize": f"""
+            SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+                   resized_checksum AS checksum
             FROM read_parquet('{images}')
         """,
         "multimodal_frames": f"""

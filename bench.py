@@ -90,12 +90,11 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         return res
 
     # headline: fused detect+merge+mask, order-restore shuffle, parquet sink.
-    # Span details are the plan's job — drop them BEFORE the sort so the
-    # all-to-all shuffle moves only the redacted rows, not list<struct> spans.
+    # Span details are the plan's job — emit_spans=False never builds the
+    # list<struct> column at all (no per-row dict work, no projection pass),
+    # so the all-to-all shuffle moves only the redacted rows.
     def headline():
-        ds = redact_pipeline(read_turns(turns_path), rules).map_batches(
-            lambda t: t.drop_columns(["spans"]), batch_format="pyarrow"
-        )
+        ds = redact_pipeline(read_turns(turns_path), rules, emit_spans=False)
         ds = order_restore(ds)
         import shutil
 

@@ -206,8 +206,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             if args.save_plan:
                 plan_pipeline(read_turns(args.input), rules).write_parquet(args.save_plan)
                 print(f"Plan saved -> {args.save_plan}")
-            out = redact_pipeline(read_turns(args.input), rules)
-            order_restore(out.drop_columns(["spans"])).write_parquet(args.out)
+            out = redact_pipeline(read_turns(args.input), rules, emit_spans=False)
+            order_restore(out).write_parquet(args.out)
             print(f"Redacted -> {args.out}")
             return 0
 

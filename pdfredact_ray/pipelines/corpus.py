@@ -36,8 +36,15 @@ from pdfredact_ray.stages.embed import (
     final_topk,
     normalize,
 )
-from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder
-from pdfredact_ray.stages.textops import LangId, fingerprints, quality_scores, rolling_fingerprints, token_counts
+from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, ImageResizer
+from pdfredact_ray.stages.textops import (
+    LangId,
+    bpe_token_counts,
+    fingerprints,
+    quality_scores,
+    rolling_fingerprints,
+    token_counts,
+)
 
 
 def _docs(sf_dir: str, columns: Optional[Sequence[str]] = None) -> rd.Dataset:
@@ -267,6 +274,10 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
 
 def doc_token_counts(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(token_counts, batch_format="pyarrow")
+
+
+def doc_bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(bpe_token_counts, batch_format="pyarrow")
 
 
 def doc_quality(sf_dir: str) -> rd.Dataset:
@@ -505,6 +516,21 @@ def multimodal_decode(sf_dir: str) -> rd.Dataset:
     return decoded.map_batches(
         lambda t: t.select(["doc_id", "width", "height", "n_bytes", "checksum"]),
         batch_format="pyarrow",
+    )
+
+
+def multimodal_resize(sf_dir: str) -> rd.Dataset:
+    """Image resize (decode -> nearest-neighbor 32x32 -> checksum):
+    oracle-checked against the generator's independently-computed resized
+    ground truth."""
+    from pdfredact_ray.sources.binimg import ensure_images
+
+    path = ensure_images(sf_dir)
+    return rd.read_parquet(path, columns=["doc_id", "payload"]).map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=default_concurrency(),
     )
 
 

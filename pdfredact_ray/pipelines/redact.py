@@ -213,8 +213,13 @@ def redact_pipeline(
     concurrency=DEFAULT_CONCURRENCY,
     batch_size: int = DEFAULT_BATCH_SIZE,
     strict: bool = True,
+    emit_spans: bool = True,
 ) -> rd.Dataset:
-    """Fused detect+merge+mask (RedactCommand analog) -> REDACTED rows."""
+    """Fused detect+merge+mask (RedactCommand analog) -> REDACTED rows.
+
+    ``emit_spans=False`` emits the REDACTED_NOSPANS shape for ordered sinks:
+    span offsets are the plan's job, and skipping the list<struct> build
+    removes per-row dict work plus a whole projection pass before the sort."""
     if concurrency is None:
         concurrency = default_concurrency()
     return turns.map_batches(
@@ -223,6 +228,7 @@ def redact_pipeline(
             "rules": _specs(rules),
             "mode": "redact",
             "strict": strict,
+            "emit_spans": emit_spans,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -57,11 +57,10 @@ def redact_full(sf_dir: str) -> rd.Dataset:
     """Flagship: full fused redaction (all default rules, layout turns
     included), order-restored. Rows-only driver check; byte-for-byte
     equality is covered by the pytest oracle suite."""
-    ds = redact_pipeline(_turns(sf_dir), default_rules())
-    out = order_restore(ds)
-    return out.map_batches(
-        lambda t: t.drop_columns(["spans"]), batch_format="pyarrow"
-    )  # list<struct> hashes awkwardly driver-side; spans are pytest-covered
+    # emit_spans=False: list<struct> hashes awkwardly driver-side (spans are
+    # pytest-covered), and never building it is the ordered-sink fast shape
+    ds = redact_pipeline(_turns(sf_dir), default_rules(), emit_spans=False)
+    return order_restore(ds)
 
 
 def redact_mask_equality(sf_dir: str) -> rd.Dataset:

@@ -59,6 +59,11 @@ REDACTED = pa.schema(
     ]
 )
 
+# RuleMatcher(emit_spans=False): the ordered-sink shape — span offsets are
+# the plan's job, and never building the list<struct> column saves per-row
+# dict construction plus a whole projection pass before the sort shuffle.
+REDACTED_NOSPANS = pa.schema([f for f in REDACTED if f.name != "spans"])
+
 
 def validate(table: pa.Table, schema: pa.Schema, stage: str) -> None:
     """Boundary validation: required columns exist with the declared types."""

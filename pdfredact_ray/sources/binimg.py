@@ -29,10 +29,25 @@ import pyarrow.parquet as pq
 
 from pdfredact_ray.sources.turns import _rng, n_turns_for, sf_label_of
 
-GENERATOR_VERSION = 1
+GENERATOR_VERSION = 2
 DEFAULT_BASE_DIR = os.path.join(tempfile.gettempdir(), "pdfredact_binimg")
 
 FRAME_SIZE = 256  # bytes per pseudo-frame (matches FrameSampler default)
+RESIZE_TARGET = 32  # stored resize ground truth is 32x32
+
+
+def _reference_resize_checksum(px: np.ndarray, tw: int, th: int) -> int:
+    """Pure-Python nearest-neighbor resize reference (sy = y*h//th): an
+    implementation INDEPENDENT of the stage's numpy fancy-indexing, so the
+    stored ground truth is a real cross-check, not a tautology."""
+    h, w, _ = px.shape
+    out = bytearray()
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            out.extend(bytes(int(v) for v in px[sy, sx]))
+    return zlib.crc32(bytes(out)) & 0x7FFFFFFFFFFFFFFF
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -57,6 +72,7 @@ def generate_images_table(n_docs: int, label: str = "img", seed: int = 42) -> pa
     heights: List[int] = []
     nbytes: List[int] = []
     checksums: List[int] = []
+    resized: List[int] = []
     for _ in range(n_docs):
         w = int(rng.integers(4, 69))
         h = int(rng.integers(4, 69))
@@ -68,6 +84,7 @@ def generate_images_table(n_docs: int, label: str = "img", seed: int = 42) -> pa
         nbytes.append(len(payload))
         # ground truth: crc32 over the DECODED row-major RGB bytes
         checksums.append(zlib.crc32(px.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+        resized.append(_reference_resize_checksum(px, RESIZE_TARGET, RESIZE_TARGET))
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
@@ -76,6 +93,7 @@ def generate_images_table(n_docs: int, label: str = "img", seed: int = 42) -> pa
             "height": pa.array(heights, type=pa.int32()),
             "n_bytes": pa.array(nbytes, type=pa.int64()),
             "checksum": pa.array(checksums, type=pa.int64()),
+            "resized_checksum": pa.array(resized, type=pa.int64()),
         }
     )
 

@@ -45,7 +45,7 @@ from pdfredact_ray.functions.mask import apply_regions, spans_sorted
 from pdfredact_ray.functions.match import Region, detect_turn
 from pdfredact_ray.functions.rules import CompiledRule, RuleLike, compile_rules
 from pdfredact_ray.functions.runs import LAYOUT_PREFIX, is_layout_payload
-from pdfredact_ray.schema import PLAN, REDACTED, SPAN
+from pdfredact_ray.schema import PLAN, REDACTED, REDACTED_NOSPANS, SPAN
 
 # Conservative static check: can this pattern never match across a '\n'
 # separator, and is it position-independent (no anchors, whose meaning
@@ -165,11 +165,17 @@ class RuleMatcher:
         detector: str = "rules",
         masker: str = "block",
         literal_engine: str = "auto",
+        emit_spans: bool = True,
     ):
         assert mode in ("redact", "plan")
         from pdfredact_ray.extend import get_detector, get_masker
 
         self.ruleset = compile_rules(rules, literal_engine=literal_engine)
+        # emit_spans=False (redact mode): skip building the spans
+        # list<struct> column entirely — the ordered-sink pipeline drops it
+        # before the sort anyway, and per-row span-dict construction plus a
+        # whole extra projection operator pass are measurable at 16M rows.
+        self.emit_spans = emit_spans
         self.mode = mode
         self.strict = strict
         # A custom detection backend (U1) defines its own match semantics, so
@@ -424,9 +430,11 @@ class RuleMatcher:
             text_col = text_col.combine_chunks()
         text_col = text_col.cast(pa.string())
         cand_idx = np.flatnonzero(mask)
+        spans = None
         if len(cand_idx) == 0:
             red = text_col
-            spans = pa.array([[]] * n, type=pa.list_(SPAN))
+            if self.emit_spans:
+                spans = pa.array([[]] * n, type=pa.list_(SPAN))
             nred = pa.array(np.zeros(n, dtype=np.int32), type=pa.int32())
         else:
             texts_sub = text_col.take(pa.array(cand_idx)).to_pylist()
@@ -441,31 +449,32 @@ class RuleMatcher:
             red = pa.concat_arrays(
                 [text_col.take(pa.array(pass_idx)), pa.array(red_sub, type=pa.string())]
             ).take(inv_arr)
-            spans = pa.concat_arrays(
-                [
-                    pa.array([[]] * len(pass_idx), type=pa.list_(SPAN)),
-                    pa.array(spans_sub, type=pa.list_(SPAN)),
-                ]
-            ).take(inv_arr)
+            if spans_sub is not None:
+                spans = pa.concat_arrays(
+                    [
+                        pa.array([[]] * len(pass_idx), type=pa.list_(SPAN)),
+                        pa.array(spans_sub, type=pa.list_(SPAN)),
+                    ]
+                ).take(inv_arr)
             nred = pa.concat_arrays(
                 [
                     pa.array(np.zeros(len(pass_idx), dtype=np.int32), type=pa.int32()),
                     pa.array(nred_sub, type=pa.int32()),
                 ]
             ).take(inv_arr)
-        return pa.table(
-            {
-                "conv_id": batch.column("conv_id"),
-                "turn_idx": batch.column("turn_idx"),
-                "role": batch.column("role"),
-                "tool": batch.column("tool"),
-                "ts": batch.column("ts"),
-                "redacted_text": red,
-                "spans": spans,
-                "n_redactions": nred,
-            },
-            schema=REDACTED,
-        )
+        cols = {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "role": batch.column("role"),
+            "tool": batch.column("tool"),
+            "ts": batch.column("ts"),
+            "redacted_text": red,
+            "n_redactions": nred,
+        }
+        if spans is None:
+            return pa.table(cols, schema=REDACTED_NOSPANS)
+        cols["spans"] = spans
+        return pa.table(cols, schema=REDACTED)
 
     def _emit_plan(self, batch: pa.Table, regions_per_turn) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -492,41 +501,43 @@ class RuleMatcher:
 
     def _render(
         self, texts: List[str], regions_per_turn: List[List[Region]]
-    ) -> Tuple[List[str], List[list], List[int]]:
+    ) -> Tuple[List[str], Optional[List[list]], List[int]]:
         red_texts: List[str] = []
-        spans_col: List[list] = []
+        spans_col: Optional[List[list]] = [] if self.emit_spans else None
         n_red: List[int] = []
         for text, regions in zip(texts, regions_per_turn):
             if regions and regions[0] is _POISONED:
                 red_texts.append(text)
-                spans_col.append([])
+                if spans_col is not None:
+                    spans_col.append([])
                 n_red.append(-1)
                 continue
             red_texts.append(self._masker(text, regions))
-            spans_col.append(
-                [
-                    {"start": r.orig_start, "end": r.orig_end, "rule_pattern": r.rule_pattern}
-                    for r in spans_sorted(regions)
-                ]
-            )
+            if spans_col is not None:
+                spans_col.append(
+                    [
+                        {"start": r.orig_start, "end": r.orig_end, "rule_pattern": r.rule_pattern}
+                        for r in spans_sorted(regions)
+                    ]
+                )
             n_red.append(len(regions))
         return red_texts, spans_col, n_red
 
     def _emit_redacted(self, batch: pa.Table, texts, regions_per_turn) -> pa.Table:
         red_texts, spans_col, n_red = self._render(texts, regions_per_turn)
-        return pa.table(
-            {
-                "conv_id": batch.column("conv_id"),
-                "turn_idx": batch.column("turn_idx"),
-                "role": batch.column("role"),
-                "tool": batch.column("tool"),
-                "ts": batch.column("ts"),
-                "redacted_text": pa.array(red_texts, type=pa.string()),
-                "spans": pa.array(spans_col, type=pa.list_(SPAN)),
-                "n_redactions": pa.array(n_red, type=pa.int32()),
-            },
-            schema=REDACTED,
-        )
+        cols = {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "role": batch.column("role"),
+            "tool": batch.column("tool"),
+            "ts": batch.column("ts"),
+            "redacted_text": pa.array(red_texts, type=pa.string()),
+            "n_redactions": pa.array(n_red, type=pa.int32()),
+        }
+        if spans_col is None:
+            return pa.table(cols, schema=REDACTED_NOSPANS)
+        cols["spans"] = pa.array(spans_col, type=pa.list_(SPAN))
+        return pa.table(cols, schema=REDACTED)
 
 
 def _boundary_region(

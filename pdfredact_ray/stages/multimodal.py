@@ -125,6 +125,38 @@ class ImageDecoder:
         )
 
 
+class ImageResizer:
+    """Actor stage: BMP payload -> nearest-neighbor resized RGB checksum.
+
+    The resize is integer index math (``sy = y*h // th``), vectorized with
+    numpy fancy indexing; the generator stores an expected checksum computed
+    by an independent pure-Python loop, so the oracle cross-checks decode +
+    resample end-to-end. Batches stay small (payload-heavy stage)."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw = target_w
+        self.th = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_sum: List[int] = []
+        for payload in batch.column("payload").to_pylist():
+            w, h, px = decode_bmp(payload or b"")
+            idx_y = (np.arange(self.th) * h) // self.th
+            idx_x = (np.arange(self.tw) * w) // self.tw
+            small = np.ascontiguousarray(px[idx_y][:, idx_x])
+            out_sum.append(zlib.crc32(small.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array([self.tw] * n, type=pa.int32()),
+                "height": pa.array([self.th] * n, type=pa.int32()),
+                "checksum": pa.array(out_sum, type=pa.int64()),
+            }
+        )
+
+
 def text_to_binary(batch: pa.Table) -> pa.Table:
     """Test harness: manufacture a binary payload column from document text
     (stands in for real image bytes so the decode plumbing is exercised)."""

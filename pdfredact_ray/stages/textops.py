@@ -43,6 +43,23 @@ _STOPWORD_RE = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
 _PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation, locale-free
 
 
+# GPT-2-style pre-tokenizer shape, constrained to the RE2 subset (no
+# lookarounds) so Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all run the IDENTICAL engine and count: contractions,
+# optionally-space-prefixed letter runs / digit runs / punctuation runs,
+# then whitespace runs.
+BPE_TOKEN_RE = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_token_counts(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokenizer unit count, fully
+    Arrow-native. Oracle: ``len(regexp_extract_all(text, BPE_TOKEN_RE))``."""
+    n = pc.count_substring_regex(batch.column("text"), pattern=BPE_TOKEN_RE)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())}
+    )
+
+
 def quality_scores(batch: pa.Table) -> pa.Table:
     """(doc_id, n_chars, n_tokens, n_digits, n_punct, n_stopwords,
     digit_ratio, punct_ratio, stopword_ratio) — quality signals computed with

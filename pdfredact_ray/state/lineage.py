@@ -184,6 +184,7 @@ def redact_job(
         concurrency=concurrency,
         batch_size=batch_size,
         strict=strict,
+        emit_spans=False,  # ordered-sink shape: spans are the plan's job
     )
 
     def add_bucket_and_filter(batch: pa.Table) -> pa.Table:
@@ -195,7 +196,6 @@ def redact_job(
         return batch.filter(pa.array(keep))
 
     out = ds.map_batches(add_bucket_and_filter, batch_format="pyarrow")
-    out = out.map_batches(lambda t: t.drop_columns(["spans"]), batch_format="pyarrow")
     out.write_parquet(out_dir, partition_cols=["bucket"])
     _write_manifests(out_dir, input_path, ruleset_hash, todo)
     return job_metrics(out_dir)

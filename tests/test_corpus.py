@@ -210,6 +210,42 @@ def test_multimodal_decode_matches_ground_truth(ray_session):
     assert sorted(got) == sorted(want)
 
 
+def test_multimodal_resize_matches_independent_reference(ray_session):
+    """Numpy fancy-index resize vs the generator's pure-Python loop."""
+    from pdfredact_ray.pipelines.corpus import multimodal_resize
+    from pdfredact_ray.sources.binimg import ensure_images
+
+    got = _pdf(multimodal_resize(SF)).sort_values("doc_id").reset_index(drop=True)
+    truth = pq.read_table(ensure_images(SF)).to_pandas().sort_values("doc_id")
+    assert (got.width == 32).all() and (got.height == 32).all()
+    assert got.checksum.tolist() == truth.resized_checksum.tolist()
+
+
+def test_bpe_token_counts_matches_duckdb_re2(ray_session, docs):
+    """Arrow count_substring_regex and DuckDB regexp_extract_all run the
+    same RE2 engine on the same pattern — counts must agree per doc."""
+    import duckdb
+
+    from pdfredact_ray.pipelines.corpus import doc_bpe_token_counts
+    from pdfredact_ray.stages.textops import BPE_TOKEN_RE
+
+    got = _pdf(doc_bpe_token_counts(SF)).set_index("doc_id").n_bpe_tokens.to_dict()
+    con = duckdb.connect()
+    for d, text in zip(docs.doc_id, docs.text):
+        want = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, BPE_TOKEN_RE]
+        ).fetchone()[0]
+        assert got[int(d)] == want, d
+    # hand-checked shape: contraction + word + digits + punct + spaces
+    from pdfredact_ray.stages.textops import bpe_token_counts
+
+    t = bpe_token_counts(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["it's 42 ok!!  x"]})
+    )
+    # ["it", "'s", " 42", " ok", "!!", "  ", "x"]
+    assert t.column("n_bpe_tokens").to_pylist() == [7]
+
+
 def test_bmp_codec_roundtrip():
     import numpy as np
 

@@ -61,6 +61,46 @@ def test_fast_batch_path_equals_pure_oracle(texts):
         assert n == len(want_regions)
 
 
+ANCHOR_RULES = RULES + [
+    RedactionRule(r"^\d{3}", is_regex=True),
+    RedactionRule(r"only$", is_regex=True),
+    RedactionRule(r"\buse\b", is_regex=True),
+]
+ANCHOR_SPECS = [r.to_dict() for r in ANCHOR_RULES]
+ANCHOR_RS = compile_rules(ANCHOR_RULES)
+
+# arbitrary unicode-whitespace-infested text: every str.isspace() class the
+# round-1 prefilter missed, plus anchors at both ends
+_ws = st.sampled_from([" ", "\xa0", "\v", " ", "　", "\t", ""])
+_unicode_texts = st.lists(
+    st.one_of(_frag, _ws), min_size=0, max_size=10
+).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_unicode_texts, min_size=1, max_size=8))
+def test_prefilter_superset_and_equality_on_unicode_ws(texts):
+    """The Arrow prefilter must stay a superset of 'has a region' and the
+    fast path must equal the oracle on anchored rules × Unicode whitespace
+    (the confirmed round-1 silent-miss class)."""
+    m = RuleMatcher(rules=ANCHOR_SPECS, mode="redact")
+    batch = _batch(texts)
+    mask = m._candidate_mask(batch)
+    out = m(batch)
+    for i, (text, red, n) in enumerate(
+        zip(
+            texts,
+            out.column("redacted_text").to_pylist(),
+            out.column("n_redactions").to_pylist(),
+        )
+    ):
+        want_red, want_regions = redact_turn(text, ANCHOR_RS)
+        assert red == want_red, text
+        assert n == len(want_regions)
+        if want_regions and mask is not None:
+            assert mask[i], f"prefilter dropped a matching turn: {text!r}"
+
+
 @settings(max_examples=150, deadline=None)
 @given(_texts)
 def test_redaction_is_idempotent(text):

@@ -148,6 +148,18 @@ def test_plan_apply_out_of_order_payload_masks_members_only():
     assert '"X"' in applied or "X" in applied  # the non-member run survives
 
 
+def test_emit_spans_false_equals_projected_output():
+    """The ordered-sink shape (emit_spans=False) must equal the full output
+    minus its spans column, on every tier (fast, scan, slow, payload)."""
+    texts = _adversarial_texts(n=200, seed=47)
+    batch = _batch(texts)
+    specs = [r.to_dict() for r in RULES]
+    full = RuleMatcher(rules=specs, mode="redact")(batch)
+    lean = RuleMatcher(rules=specs, mode="redact", emit_spans=False)(batch)
+    assert "spans" not in lean.column_names
+    assert lean.equals(full.drop_columns(["spans"]))
+
+
 def test_poisoned_row_policy():
     bad = "@@LAYOUT@@{broken json"
     batch = _batch(["fine text", bad, "SSN: 123-45-6789."])
