@@ -57,12 +57,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_mask_equality_shuffle": T.apply_mask_equality_shuffle,
         # --- deduplication
         "dedup_exact": C.dedup_exact,
+        "dedup_filter": C.dedup_filter,
         "minhash_near_dup_pairs": C.minhash_near_dup_pairs,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "simhash_signatures": C.simhash_signatures,
         # --- text analysis
         "doc_token_counts": C.doc_token_counts,
         "doc_bpe_token_counts": C.doc_bpe_token_counts,
+        "top_tokens": C.top_tokens,
         "doc_quality": C.doc_quality,
         "doc_fingerprints": C.doc_fingerprints,
         "doc_rolling_fingerprints": C.doc_rolling_fingerprints,
@@ -193,6 +195,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_filter": """
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN (
+              SELECT MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)
+            ) k ON d.doc_id = k.keeper
+        """,
+        "top_tokens": r"""
+            WITH t AS (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+            ),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
+            SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50
         """,
         "doc_token_counts": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens

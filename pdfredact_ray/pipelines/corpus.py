@@ -99,6 +99,128 @@ class _KeyFilter:
         return t.filter(pc.is_in(self.key_fn(t), value_set=self.values))
 
 
+def dedup_filter(sf_dir: str) -> rd.Dataset:
+    """Exact-dedup FILTER: the documents table minus non-canonical
+    duplicates. Scale shape: the digest groupby emits only (digest, keeper)
+    rows; the DUPLICATE doc_id set (= rows - groups, O(dups) not O(corpus))
+    is broadcast and removed with a vectorized anti-join — never broadcast
+    the keeper set, which is corpus-sized at 100 TB."""
+    import hashlib
+
+    def digest(batch: pa.Table) -> pa.Table:
+        d = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"digest": pa.array(d, pa.string()), "doc_id": batch.column("doc_id")})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = docs.map_batches(digest, batch_format="pyarrow").materialize()
+    # digests with >1 member (rare), then their non-min members: the driver
+    # pulls O(dups) rows, never O(corpus) — same shape as MinHash's
+    # hot-bucket fetch
+    stats = pairs.groupby("digest").count()
+    hot_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                stats.map_batches(
+                    lambda t: t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+            )
+            if len(t.schema)
+        ]
+    )
+    if hot_tbl.num_rows == 0:
+        return docs
+    hot_digests = hot_tbl.column("digest").combine_chunks()
+
+    class _HotMembers:
+        def __init__(self, hot_ref):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column("digest")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return t.filter(pc.is_in(col, value_set=self.hot))
+
+    members = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                pairs.map_batches(
+                    _HotMembers,
+                    fn_constructor_kwargs={"hot_ref": ray.put(hot_digests)},
+                    batch_format="pyarrow",
+                    concurrency=default_concurrency(),
+                ).to_arrow_refs()
+            )
+            if len(t.schema)
+        ]
+    )
+    by_digest: dict = {}
+    for dg, d in zip(
+        members.column("digest").to_pylist(), members.column("doc_id").to_pylist()
+    ):
+        by_digest.setdefault(dg, []).append(d)
+    dups = sorted(d for ids in by_digest.values() for d in ids if d != min(ids))
+    dup_ids = pa.array(dups, type=pa.int64())
+
+    class _DropDups:
+        def __init__(self, dup_ref):
+            self.dups = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(_doc_id_key(t), value_set=self.dups))
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DropDups,
+        fn_constructor_kwargs={"dup_ref": ray.put(dup_ids)},
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+
+
+def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
+    """Corpus vocabulary top-k: per-batch partial token counts (the
+    map-side combiner — only distinct (token, count) partials shuffle, never
+    token instances), groupby-sum, driver-side top-k of the tiny result.
+    Deterministic tie-break (count desc, token asc)."""
+    from collections import Counter
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+    tbl = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if len(t.schema)]
+    ).rename_columns(["token", "n"])
+    order = sorted(
+        zip(tbl.column("n").to_pylist(), tbl.column("token").to_pylist()),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return pa.table(
+        {
+            "token": pa.array([t for _, t in order], pa.string()),
+            "n": pa.array([n for n, _ in order], pa.int64()),
+        }
+    )
+
+
 # Banded-signature rows (3 small ints each) up to this count are bucketed
 # driver-side in one numpy pass; larger corpora use the groupby shuffle.
 # 50M rows ~ 1.2 GB on the driver — comfortable; at 10^10 docs the banded

@@ -83,6 +83,30 @@ def test_ngram_jaccard_matches_bruteforce(ray_session, docs):
             assert ((a, b) in got_pairs) == expect, (a, b)
 
 
+def test_dedup_filter_keeps_canonical_rows(ray_session, docs):
+    from pdfredact_ray.pipelines.corpus import dedup_filter
+
+    got = _pdf(dedup_filter(SF)).sort_values("doc_id").reset_index(drop=True)
+    keepers = docs.groupby("text")["doc_id"].min().sort_values().tolist()
+    assert got.doc_id.tolist() == sorted(keepers)
+    # surviving rows carry their original text
+    src = docs.set_index("doc_id")["text"]
+    assert all(src[d] == t for d, t in zip(got.doc_id, got.text))
+
+
+def test_top_tokens_matches_counter(ray_session, docs):
+    from collections import Counter
+
+    from pdfredact_ray.pipelines.corpus import top_tokens
+
+    got = top_tokens(SF, k=20)
+    c: Counter = Counter()
+    for t in docs.text:
+        c.update(t.split())
+    want = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:20]
+    assert list(zip(got.column("token").to_pylist(), got.column("n").to_pylist())) == want
+
+
 def test_simhash_signatures_deterministic_and_duplicate_consistent(ray_session, docs):
     from pdfredact_ray.pipelines.corpus import simhash_signatures
 
