@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redact_mask_equality — the apply join must reproduce fused masking
         "apply_mask_equality": T.apply_mask_equality,
         "apply_mask_equality_shuffle": T.apply_mask_equality_shuffle,
+        "conv_assemble": T.conv_assemble,
         # --- deduplication
         "dedup_exact": C.dedup_exact,
         "dedup_filter": C.dedup_filter,
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": C.doc_token_counts,
         "doc_bpe_token_counts": C.doc_bpe_token_counts,
         "top_tokens": C.top_tokens,
+        "doc_split": C.doc_split,
         "doc_quality": C.doc_quality,
         "doc_fingerprints": C.doc_fingerprints,
         "doc_rolling_fingerprints": C.doc_rolling_fingerprints,
@@ -178,6 +180,18 @@ def oracle_sql() -> dict[str, str]:
         "redact_mask_equality": mask_equality,
         "apply_mask_equality": mask_equality,
         "apply_mask_equality_shuffle": mask_equality,
+        "conv_assemble": f"""
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS conv_text
+            FROM read_parquet('{turns}') GROUP BY conv_id
+        """,
+        "doc_split": """
+            SELECT doc_id,
+                   CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':split') % 100 AS INTEGER) AS bucket,
+                   CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || ':split') % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
         "redact_match_counts": f"""
             WITH plain AS ({plain})
             SELECT * FROM ({match_counts_union}) WHERE n_matches > 0

@@ -182,6 +182,31 @@ def dedup_filter(sf_dir: str) -> rd.Dataset:
     )
 
 
+def doc_split(sf_dir: str, train_pct: int = 90) -> rd.Dataset:
+    """Deterministic train/val split by content-independent id hash
+    (md5(doc_id || ':split')[:8] little-endian % 100) — stable under
+    resharding/reordering, exactly reproducible in SQL via
+    md5_number_upper. The assignment is embarrassingly per-row."""
+    import hashlib
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = [
+            int.from_bytes(hashlib.md5(f"{d}:split".encode()).digest()[:8], "little") % 100
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(buckets, pa.int32()),
+                "split": pa.array(
+                    ["train" if b < train_pct else "val" for b in buckets], pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+
+
 def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     """Corpus vocabulary top-k: per-batch partial token counts (the
     map-side combiner — only distinct (token, count) partials shuffle, never

@@ -127,6 +127,31 @@ def plan_matched_text(sf_dir: str) -> rd.Dataset:
     )
 
 
+def conv_assemble(sf_dir: str) -> rd.Dataset:
+    """Conversation reassembly (the context-assembly op every LLM data
+    pipeline needs): groupby(conv_id) + in-group turn_idx sort + 'role: text'
+    join. One group = one conversation — bounded by conversation length, with
+    the whale-conversation caveat documented at the sessionize op."""
+    ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "role", "text"])
+
+    def assemble(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = np.argsort(group.column("turn_idx").to_numpy())
+        roles = group.column("role").to_pylist()
+        texts = group.column("text").to_pylist()
+        joined = "\n".join(f"{roles[i]}: {texts[i]}" for i in order)
+        return pa.table(
+            {
+                "conv_id": group.column("conv_id").slice(0, 1),
+                "n_turns": pa.array([group.num_rows], pa.int64()),
+                "conv_text": pa.array([joined], pa.string()),
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
+
+
 def redact_fragment_digits(sf_dir: str) -> rd.Dataset:
     """Fragment-aware path over plain text: numeric literal rules auto-route
     through the two-pass digit-run tokenizer, so spaced pins ('1 2 3 4')

@@ -83,6 +83,31 @@ def test_ngram_jaccard_matches_bruteforce(ray_session, docs):
             assert ((a, b) in got_pairs) == expect, (a, b)
 
 
+def test_conv_assemble_matches_pandas(ray_session):
+    from pdfredact_ray.pipelines.turnqueries import conv_assemble
+    from pdfredact_ray.sources.turns import ensure_turns
+
+    got = _pdf(conv_assemble(SF)).set_index("conv_id").sort_index()
+    src = pq.read_table(ensure_turns(SF)).to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = src.groupby("conv_id").apply(
+        lambda g: "\n".join(f"{r}: {t}" for r, t in zip(g.role, g.text)),
+        include_groups=False,
+    )
+    assert got.conv_text.to_dict() == want.to_dict()
+    assert got.n_turns.to_dict() == src.groupby("conv_id").size().astype(int).to_dict()
+
+
+def test_doc_split_deterministic_and_balanced(ray_session):
+    from pdfredact_ray.pipelines.corpus import doc_split
+
+    a = _pdf(doc_split(SF)).sort_values("doc_id").reset_index(drop=True)
+    b = _pdf(doc_split(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    frac = (a.split == "train").mean()
+    assert 0.8 < frac < 0.97  # ~90% by construction
+    assert ((a.bucket < 90) == (a.split == "train")).all()
+
+
 def test_dedup_filter_keeps_canonical_rows(ray_session, docs):
     from pdfredact_ray.pipelines.corpus import dedup_filter
 
