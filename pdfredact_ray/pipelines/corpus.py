@@ -122,7 +122,9 @@ def dedup_filter(sf_dir: str) -> rd.Dataset:
             t
             for t in ray.get(
                 stats.map_batches(
-                    lambda t: t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
+                    lambda t: t
+                    if t.num_columns == 0
+                    else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
                     batch_format="pyarrow",
                 ).to_arrow_refs()
             )
@@ -309,12 +311,18 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         # never closure-captured into per-task pickles.
         counts = banded.groupby(["band_id", "band_hash"]).count()
         hot_tbl = pa.concat_tables(
-            ray.get(
-                counts.map_batches(
-                    lambda t: t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
-                    batch_format="pyarrow",
-                ).to_arrow_refs()
-            )
+            [
+                t
+                for t in ray.get(
+                    counts.map_batches(
+                        lambda t: t
+                        if t.num_columns == 0
+                        else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
+                        batch_format="pyarrow",
+                    ).to_arrow_refs()
+                )
+                if len(t.schema)
+            ]
         )
         if hot_tbl.num_rows == 0:
             return empty

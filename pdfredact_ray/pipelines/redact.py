@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -58,6 +59,10 @@ def default_concurrency() -> int:
 # Broadcasting the plan index is cheaper than a shuffle join until the plan
 # stops fitting comfortably in the object store / actor heaps.
 BROADCAST_PLAN_MAX_ROWS = 2_000_000
+
+# Plan rows per pack() partial-combine batch (module-level so tests can
+# shrink it to force keys to straddle batch boundaries).
+_PACK_BATCH_SIZE = 65536
 
 
 def read_turns(path: Union[str, Sequence[str]], columns: Optional[Sequence[str]] = None) -> rd.Dataset:
@@ -142,7 +147,7 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
     import json
 
     def pack(batch: pa.Table) -> pa.Table:
-        # partial combine: one row per (conv, turn) per block
+        # partial combine: one row per (conv, turn) per batch
         idx = build_plan_index(batch)
         return pa.table(
             {
@@ -154,7 +159,99 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
             }
         )
 
-    packed = plan_ds.map_batches(pack, batch_format="pyarrow", batch_size=65536)
+    packed = plan_ds.map_batches(
+        pack, batch_format="pyarrow", batch_size=_PACK_BATCH_SIZE
+    ).materialize()
+    # FINAL combine: a turn whose plan rows straddle a pack-batch boundary
+    # yields >1 packed row, and a left-outer join against duplicate keys
+    # DUPLICATES that turn in the output (measured: 16,000,007 rows from a
+    # 16,000,000-turn input). Split keys are O(number of batches), so find
+    # them with one skinny groupby-count and merge only those rows
+    # driver-side — never a full-plan re-shuffle.
+    dup_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                packed.groupby(["conv_id", "turn_idx"])
+                .count()
+                .map_batches(
+                    # aggregates can emit empty zero-column blocks: pass through
+                    lambda t: t
+                    if t.num_columns == 0
+                    else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(
+                        ["count()"]
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            )
+            if len(t.schema)
+        ]
+    )
+    if dup_tbl.num_rows > 0:
+        dup_keys = pa.array(
+            [
+                f"{c}\x1f{t}"
+                for c, t in zip(
+                    dup_tbl.column("conv_id").to_pylist(),
+                    dup_tbl.column("turn_idx").to_pylist(),
+                )
+            ],
+            type=pa.string(),
+        )
+
+        def _key_col(t: pa.Table) -> pa.Array:
+            k = pc.binary_join_element_wise(
+                pc.cast(t.column("conv_id"), pa.string()),
+                pc.cast(t.column("turn_idx"), pa.string()),
+                "\x1f",
+            )
+            return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+        dup_ref = ray.put(dup_keys)
+
+        class _SplitFilter:
+            def __init__(self, keep_dups: bool):
+                self.keep_dups = keep_dups
+                self.keys = ray.get(dup_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                m = pc.is_in(_key_col(t), value_set=self.keys)
+                return t.filter(m if self.keep_dups else pc.invert(m))
+
+        uniq = packed.map_batches(
+            _SplitFilter, fn_constructor_kwargs={"keep_dups": False},
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+        split_rows = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    packed.map_batches(
+                        _SplitFilter, fn_constructor_kwargs={"keep_dups": True},
+                        batch_format="pyarrow", concurrency=concurrency,
+                    ).to_arrow_refs()
+                )
+                if len(t.schema)
+            ]
+        )
+        merged: dict = {}
+        for c, ti, p in zip(
+            split_rows.column("conv_id").to_pylist(),
+            split_rows.column("turn_idx").to_pylist(),
+            split_rows.column("packed_spans").to_pylist(),
+        ):
+            merged.setdefault((c, ti), []).extend(json.loads(p))
+        merged_tbl = pa.table(
+            {
+                "conv_id": pa.array([k[0] for k in merged], type=pa.string()),
+                "turn_idx": pa.array([k[1] for k in merged], type=pa.int32()),
+                "packed_spans": pa.array(
+                    [json.dumps(v) for v in merged.values()], type=pa.string()
+                ),
+            }
+        )
+        packed = uniq.union(rd.from_arrow(merged_tbl))
     # Partition count grows with the PLAN (target ~2M rows per partition so
     # partition state stays bounded at any plan size), capped at 2x cluster
     # cores: each hash-shuffle aggregator needs a CPU slot, so far more

@@ -84,6 +84,26 @@ def test_apply_shuffle_join_equals_broadcast(ray_session, turns_file):
         assert via_bcast[col].tolist() == via_join[col].tolist(), col
 
 
+def test_shuffle_join_handles_pack_boundary_splits(ray_session, turns_file, monkeypatch):
+    """A turn whose plan rows straddle a pack-batch boundary must NOT be
+    duplicated by the left-outer join (measured at 16M rows: +7 output rows
+    before the final-combine fix). Tiny pack batches force many splits."""
+    import pdfredact_ray.pipelines.redact as R
+
+    turns = read_turns(turns_file)
+    plan = plan_pipeline(turns, SPECS).materialize()
+    monkeypatch.setattr(R, "_PACK_BATCH_SIZE", 3)
+    via_join = order_restore(
+        apply_pipeline(read_turns(turns_file), plan, broadcast_max_rows=0)
+    ).to_pandas()
+    assert len(via_join) == 1500  # exactly one output row per turn
+    via_bcast = order_restore(
+        apply_pipeline(read_turns(turns_file), plan)
+    ).to_pandas()
+    for col in ("conv_id", "turn_idx", "redacted_text", "n_redactions"):
+        assert via_join[col].tolist() == via_bcast[col].tolist(), col
+
+
 def test_order_restore_is_stable(ray_session, turns_file):
     ds = order_restore(redact_pipeline(read_turns(turns_file), SPECS))
     df = ds.to_pandas()
