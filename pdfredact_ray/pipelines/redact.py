@@ -253,13 +253,17 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
         )
         packed = uniq.union(rd.from_arrow(merged_tbl))
     # Partition count grows with the PLAN (target ~2M rows per partition so
-    # partition state stays bounded at any plan size), capped at 2x cluster
-    # cores: each hash-shuffle aggregator needs a CPU slot, so far more
-    # partitions than cores livelocks a small cluster, while the cap itself
-    # scales with the cluster on a real 4N-node deployment.
+    # partition state stays bounded at any plan size), floored at the
+    # cluster core count and capped at 2x: measured at 16M turns / 16 CPUs,
+    # 8 partitions = 273s, 16 = 167s, 32 = 200s, 64 = 281s — ~one partition
+    # per core is the sweet spot (fewer starves the reduce, more pays
+    # per-partition scheduling), and the bound scales with the cluster on a
+    # real 4N-node deployment.
     cpus = int(ray.cluster_resources().get("CPU", 8))
     by_rows = -(-max(1, plan_rows) // 2_000_000)  # ceil
-    num_partitions = max(2, min(max(by_rows, cpus // 2), cpus * 2))
+    num_partitions = globals().get("_FORCE_PARTITIONS") or max(
+        2, min(max(by_rows, cpus), cpus * 2)
+    )
     joined = turns.join(
         packed,
         join_type="left_outer",
