@@ -272,24 +272,65 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
     )
 
     def mask_joined(batch: pa.Table) -> pa.Table:
+        """Vectorized copy-through: matchless turns (null packed_spans —
+        the vast majority at realistic hit rates) never become Python
+        strings; only matched rows run the masking loop, then results
+        scatter back to input order via concat + take (the same shape as
+        the detect prefilter emission). Measured at 16M turns / 16 CPUs:
+        the row loop over all rows cost 341s of UDF time."""
+        import numpy as np
+
         from pdfredact_ray.schema import REDACTED, SPAN
         from pdfredact_ray.stages.apply import apply_spans_to_text
 
-        texts = batch.column("text").to_pylist()
-        packed_col = batch.column("packed_spans").to_pylist()
-        red, spans_col, n_red = [], [], []
-        for text, p in zip(texts, packed_col):
-            all_spans = []
-            if p:
+        n = batch.num_rows
+        text_col = batch.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = text_col.cast(pa.string())
+        packed = batch.column("packed_spans")
+        if isinstance(packed, pa.ChunkedArray):
+            packed = packed.combine_chunks()
+        has = pc.fill_null(pc.is_valid(packed), False).to_numpy(zero_copy_only=False)
+        hit_idx = np.flatnonzero(has)
+        if len(hit_idx) == 0:
+            red = text_col
+            spans = pa.array([[]] * n, type=pa.list_(SPAN))
+            nred = pa.array(np.zeros(n, dtype=np.int32), type=pa.int32())
+        else:
+            texts_sub = text_col.take(pa.array(hit_idx)).to_pylist()
+            packed_sub = packed.take(pa.array(hit_idx)).to_pylist()
+            red_sub, spans_sub, nred_sub = [], [], []
+            for text, p in zip(texts_sub, packed_sub):
                 # (start, end, rule_pattern, members-or-None) — lists/None
                 # round-trip through the packed-JSON combiner unchanged
-                all_spans.extend(tuple(s) for s in json.loads(p))
-            all_spans.sort(key=lambda x: (x[0], x[1], x[2]))
-            red.append(apply_spans_to_text(text, all_spans))
-            spans_col.append(
-                [{"start": s, "end": e, "rule_pattern": r} for s, e, r, _ in all_spans]
-            )
-            n_red.append(len(all_spans))
+                all_spans = [tuple(s) for s in json.loads(p)]
+                all_spans.sort(key=lambda x: (x[0], x[1], x[2]))
+                red_sub.append(apply_spans_to_text(text, all_spans))
+                spans_sub.append(
+                    [{"start": s, "end": e, "rule_pattern": r} for s, e, r, _ in all_spans]
+                )
+                nred_sub.append(len(all_spans))
+            pass_idx = np.flatnonzero(~has)
+            perm = np.concatenate([pass_idx, hit_idx])
+            inv = np.empty(n, dtype=np.int64)
+            inv[perm] = np.arange(n)
+            inv_arr = pa.array(inv)
+            red = pa.concat_arrays(
+                [text_col.take(pa.array(pass_idx)), pa.array(red_sub, type=pa.string())]
+            ).take(inv_arr)
+            spans = pa.concat_arrays(
+                [
+                    pa.array([[]] * len(pass_idx), type=pa.list_(SPAN)),
+                    pa.array(spans_sub, type=pa.list_(SPAN)),
+                ]
+            ).take(inv_arr)
+            nred = pa.concat_arrays(
+                [
+                    pa.array(np.zeros(len(pass_idx), dtype=np.int32), type=pa.int32()),
+                    pa.array(nred_sub, type=pa.int32()),
+                ]
+            ).take(inv_arr)
         return pa.table(
             {
                 "conv_id": batch.column("conv_id"),
@@ -297,9 +338,9 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
                 "role": batch.column("role"),
                 "tool": batch.column("tool"),
                 "ts": batch.column("ts"),
-                "redacted_text": pa.array(red, type=pa.string()),
-                "spans": pa.array(spans_col, type=pa.list_(SPAN)),
-                "n_redactions": pa.array(n_red, type=pa.int32()),
+                "redacted_text": red,
+                "spans": spans,
+                "n_redactions": nred,
             },
             schema=REDACTED,
         )

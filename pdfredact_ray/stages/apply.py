@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pdfredact_ray.functions.mask import _mask_payload, mask_text, merge_intervals
 from pdfredact_ray.functions.runs import is_layout_payload
@@ -70,28 +71,83 @@ def apply_spans_to_text(text: str, spans: List[Span]) -> str:
 
 
 class Applier:
-    """map_batches actor: broadcast-plan left-outer join + mask."""
+    """map_batches actor: broadcast-plan left-outer join + mask.
+
+    Vectorized copy-through: a fused ``conv_id\\x1fturn_idx`` key column is
+    probed against the index's key set with ``pc.is_in`` (built once per
+    actor), so matchless turns — the majority — never become Python values;
+    only hit rows run the masking loop, then results scatter back to input
+    order via concat + take."""
 
     def __init__(self, plan_ref):
         import ray
 
         # one object-store read per actor, not per batch
         self.plan: PlanIndex = ray.get(plan_ref) if not isinstance(plan_ref, dict) else plan_ref
+        self.key_set = pa.array(
+            [f"{c}\x1f{t}" for (c, t) in self.plan], type=pa.string()
+        )
+
+    @staticmethod
+    def _key_col(batch: pa.Table) -> pa.Array:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch.column("conv_id"), pa.string()),
+            pc.cast(batch.column("turn_idx"), pa.string()),
+            "\x1f",
+        )
+        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_pylist()
-        texts = batch.column("text").to_pylist()
-        red: List[str] = []
-        spans_col: List[list] = []
-        n_red: List[int] = []
-        for c, t, text in zip(conv, tidx, texts):
-            spans = self.plan.get((c, t), [])
-            red.append(apply_spans_to_text(text, spans))
-            spans_col.append(
-                [{"start": s, "end": e, "rule_pattern": r} for s, e, r, _ in spans]
-            )
-            n_red.append(len(spans))
+        import numpy as np
+
+        n = batch.num_rows
+        text_col = batch.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        text_col = text_col.cast(pa.string())
+        has = pc.is_in(self._key_col(batch), value_set=self.key_set).to_numpy(
+            zero_copy_only=False
+        )
+        hit_idx = np.flatnonzero(has)
+        if len(hit_idx) == 0:
+            red: pa.Array = text_col
+            spans = pa.array([[]] * n, type=pa.list_(SPAN))
+            nred = pa.array(np.zeros(n, dtype=np.int32), type=pa.int32())
+        else:
+            take = pa.array(hit_idx)
+            conv = batch.column("conv_id").take(take).to_pylist()
+            tidx = batch.column("turn_idx").take(take).to_pylist()
+            texts = text_col.take(take).to_pylist()
+            red_sub: List[str] = []
+            spans_sub: List[list] = []
+            nred_sub: List[int] = []
+            for c, t, text in zip(conv, tidx, texts):
+                spans_for = self.plan.get((c, t), [])
+                red_sub.append(apply_spans_to_text(text, spans_for))
+                spans_sub.append(
+                    [{"start": s, "end": e, "rule_pattern": r} for s, e, r, _ in spans_for]
+                )
+                nred_sub.append(len(spans_for))
+            pass_idx = np.flatnonzero(~has)
+            perm = np.concatenate([pass_idx, hit_idx])
+            inv = np.empty(n, dtype=np.int64)
+            inv[perm] = np.arange(n)
+            inv_arr = pa.array(inv)
+            red = pa.concat_arrays(
+                [text_col.take(pa.array(pass_idx)), pa.array(red_sub, type=pa.string())]
+            ).take(inv_arr)
+            spans = pa.concat_arrays(
+                [
+                    pa.array([[]] * len(pass_idx), type=pa.list_(SPAN)),
+                    pa.array(spans_sub, type=pa.list_(SPAN)),
+                ]
+            ).take(inv_arr)
+            nred = pa.concat_arrays(
+                [
+                    pa.array(np.zeros(len(pass_idx), dtype=np.int32), type=pa.int32()),
+                    pa.array(nred_sub, type=pa.int32()),
+                ]
+            ).take(inv_arr)
         return pa.table(
             {
                 "conv_id": batch.column("conv_id"),
@@ -99,9 +155,9 @@ class Applier:
                 "role": batch.column("role"),
                 "tool": batch.column("tool"),
                 "ts": batch.column("ts"),
-                "redacted_text": pa.array(red, type=pa.string()),
-                "spans": pa.array(spans_col, type=pa.list_(SPAN)),
-                "n_redactions": pa.array(n_red, type=pa.int32()),
+                "redacted_text": red,
+                "spans": spans,
+                "n_redactions": nred,
             },
             schema=REDACTED,
         )
