@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_mask_equality": T.apply_mask_equality,
         "apply_mask_equality_shuffle": T.apply_mask_equality_shuffle,
         "conv_assemble": T.conv_assemble,
+        # resumable lineage job end-to-end (S4 sink, hash-bucket layout)
+        "job_turn_counts": T.job_turn_counts,
         # --- deduplication
         "dedup_exact": C.dedup_exact,
         "dedup_filter": C.dedup_filter,
@@ -84,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": C.multimodal_frames,
         # --- windowed / sessionized events + wide aggregate
         "events_tumbling_window": C.events_tumbling_window,
+        "events_hopping_window": C.events_hopping_window,
         "events_sessionize": C.events_sessionize,
         "lineitem_agg": C.lineitem_agg,
     }
@@ -197,6 +200,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ({match_counts_union}) WHERE n_matches > 0
         """,
         "redact_turn_counts": f"""
+            WITH plain AS ({plain})
+            SELECT conv_id, turn_idx, CAST(n AS BIGINT) AS n_redactions
+            FROM (SELECT conv_id, turn_idx, {per_turn_sum} AS n FROM plain)
+            WHERE n > 0
+        """,
+        # the lineage job's bucket-partitioned output, same per-turn oracle
+        "job_turn_counts": f"""
             WITH plain AS ({plain})
             SELECT conv_id, turn_idx, CAST(n AS BIGINT) AS n_redactions
             FROM (SELECT conv_id, turn_idx, {per_turn_sum} AS n FROM plain)
@@ -415,6 +425,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        # hopping window (1h length, 30min hop): every event lands in its
+        # 30min-aligned bucket and the one before it
+        "events_hopping_window": """
+            WITH w AS (
+              SELECT user_id, time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events
+              UNION ALL
+              SELECT user_id,
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                     CAST(floor(value * 100) AS BIGINT)
+              FROM events
+            )
+            SELECT user_id, window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM w GROUP BY 1, 2
         """,
         "events_sessionize": """
             WITH g AS (

@@ -788,6 +788,41 @@ def sessionize(ev: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     return part.groupby("user_id").map_groups(stitch, batch_format="pyarrow")
 
 
+def events_hopping_window(sf_dir: str) -> rd.Dataset:
+    """Hopping window (1h length, 30min hop): each event replicates into
+    the 2 windows covering it INSIDE map_batches (vectorized key
+    derivation + table concat — the flat-map stays on the map side, only
+    (user, window, cents) rows shuffle), then one groupby aggregate.
+    Money as floor-cents int64 for order-independent exactness."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+    hop_us = 30 * 60 * 1_000_000
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        base = pc.floor_temporal(ts, multiple=30, unit="minute")
+        prev = pc.cast(
+            pc.subtract(pc.cast(base, pa.int64()), hop_us), pa.timestamp("us")
+        )
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        one = pa.table(
+            {"user_id": batch.column("user_id"), "window_start": base, "cents": cents}
+        )
+        two = pa.table(
+            {"user_id": batch.column("user_id"), "window_start": prev, "cents": cents}
+        )
+        return pa.concat_tables([one, two])
+
+    agg = (
+        ev.map_batches(keys, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(), Sum("cents"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id", "window_start", "n_events", "sum_cents"]),
+        batch_format="pyarrow",
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
     return sessionize(ev, gap_minutes=gap_minutes)

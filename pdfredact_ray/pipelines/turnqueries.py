@@ -127,6 +127,51 @@ def plan_matched_text(sf_dir: str) -> rd.Dataset:
     )
 
 
+def job_turn_counts(sf_dir: str) -> rd.Dataset:
+    """The resumable lineage job (S4 sink + hash-bucket layout) through the
+    driver oracle: run redact_job end-to-end (fresh, full default ruleset),
+    read the bucket-partitioned output back, and project the plain turns'
+    (conv_id, turn_idx, n_redactions > 0) — the same oracle as
+    redact_turn_counts. Layout turns keep their @@LAYOUT@@ prefix in
+    redacted_text, so plain filtering works on the output alone."""
+    import os
+    import tempfile
+
+    from pdfredact_ray.functions.rules import default_rules
+    from pdfredact_ray.state.lineage import redact_job
+
+    turns_path = ensure_turns(sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "pdfredact_job_query",
+        os.path.basename(os.path.dirname(turns_path)),
+    )
+    redact_job(
+        turns_path,
+        [r.to_dict() for r in default_rules()],
+        out_dir,
+        n_buckets=16,
+        resume=False,
+    )
+    out = rd.read_parquet(out_dir, columns=["conv_id", "turn_idx", "redacted_text", "n_redactions"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.and_(
+                pc.invert(pc.starts_with(t.column("redacted_text"), LAYOUT_PREFIX)),
+                pc.greater(t.column("n_redactions"), 0),
+            )
+        )
+        return pa.table(
+            {
+                "conv_id": keep.column("conv_id"),
+                "turn_idx": keep.column("turn_idx"),
+                "n_redactions": pc.cast(keep.column("n_redactions"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def conv_assemble(sf_dir: str) -> rd.Dataset:
     """Conversation reassembly (the context-assembly op every LLM data
     pipeline needs): groupby(conv_id) + in-group turn_idx sort + 'role: text'

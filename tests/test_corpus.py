@@ -340,6 +340,24 @@ def test_embed_cosine_bucketed_equals_exact(ray_session):
     assert exact.equals(bucketed)
 
 
+def test_hopping_window_covers_each_event_twice(ray_session):
+    from pdfredact_ray.pipelines.corpus import events_hopping_window, events_tumbling_window
+
+    hop = _pdf(events_hopping_window(SF))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    # every event lands in exactly 2 windows
+    assert hop.n_events.sum() == 2 * len(ev)
+    # per-user totals double the tumbling mass as well (cents conserved)
+    tum = _pdf(events_tumbling_window(SF))
+    assert hop.sum_cents.sum() == 2 * tum.sum_cents.sum()
+    # spot-check one (user, window): count via pandas
+    row = hop.sort_values(["user_id", "window_start"]).iloc[len(hop) // 2]
+    lo = row.window_start
+    hi = lo + pd.Timedelta(hours=1)
+    sub = ev[(ev.user_id == row.user_id) & (ev.ts >= lo) & (ev.ts < hi)]
+    assert row.n_events == len(sub)
+
+
 def test_sessionize_whale_user(ray_session):
     """One user with 1M events: the two-stage (user, day) sub-grouping must
     process it without a single per-user group materializing all events, and
