@@ -114,6 +114,7 @@ def _re2_superset_pattern(pattern: str) -> Optional[str]:
     """
     out: List[str] = []
     in_class = False
+    class_start = -1  # index just past '[' (or '[^') of the open class
     ascii_only = pattern.isascii()
     i = 0
     n = len(pattern)
@@ -148,8 +149,15 @@ def _re2_superset_pattern(pattern: str) -> Optional[str]:
             continue
         if ch == "[" and not in_class:
             in_class = True
+            class_start = i + 1
+            if class_start < n and pattern[class_start] == "^":
+                class_start += 1
         elif ch == "]" and in_class:
-            in_class = False
+            # ']' immediately after '[' / '[^' is a LITERAL in Python's re
+            # (and POSIX/RE2): only a later ']' closes the class — without
+            # this, later \d/\w rewrites get mis-scoped
+            if i != class_start:
+                in_class = False
         out.append(ch)
         i += 1
     return "".join(out)

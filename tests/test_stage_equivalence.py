@@ -225,6 +225,30 @@ def test_nbsp_literal_repro_masks():
     assert out.column("redacted_text").to_pylist() == ["x ███ y"]
 
 
+def test_leading_bracket_class_rules_equal():
+    """']' right after '[' / '[^' is a literal class member in both
+    dialects; the rewriter must not close the class there (else later
+    \\d/\\w rewrites are mis-scoped and the prefilter can under-match)."""
+    rules = [
+        RedactionRule(r"[]x]\d", is_regex=True),
+        RedactionRule(r"[^]q]{2}z", is_regex=True),
+    ] + default_rules()
+    texts = ["]7 ok", "x3", "aaz", "]]z", "no match", " ]2 pad "] + _adversarial_texts(
+        n=60, seed=53
+    )
+    batch = _batch(texts)
+    specs = [r.to_dict() for r in rules]
+    fast = RuleMatcher(rules=specs, mode="redact", fast=True)(batch)
+    slow = RuleMatcher(rules=specs, mode="redact", fast=False)(batch)
+    assert fast.equals(slow)
+    m = RuleMatcher(rules=specs)
+    mask = m._candidate_mask(batch)
+    rs = compile_rules(rules)
+    for i, text in enumerate(texts):
+        if redact_turn(text, rs)[1] and mask is not None:
+            assert mask[i], text
+
+
 def test_nullable_pattern_no_crash_and_equal():
     """Empty-matchable patterns ('z*', '(?:x)?y*') previously crashed the
     mega-scan (IndexError at end-of-string empty match) or silently dropped
