@@ -82,11 +82,38 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     timings: dict[str, float] = {}
     n_turns = 0
 
+    def _drain(max_wait: float = 15.0) -> None:
+        """Wait for the previous query's actor pool to release its CPUs.
+        Fixed pools from consecutive queries otherwise race: the new pool
+        sits 'pending' behind draining actors and the measurement absorbs
+        up to ~20s of scheduler wait that isn't the query's cost."""
+        deadline = time.perf_counter() + max_wait
+        while time.perf_counter() < deadline:
+            try:
+                if ray.available_resources().get("CPU", 0) >= num_cpus - 0.5:
+                    return
+            except Exception:
+                return
+            time.sleep(0.25)
+
+    # Best-of-N per query (default 2): this sandbox's raylet sporadically
+    # takes ~20s to launch the FIRST task of a pipeline (observed on
+    # identical back-to-back runs: 3.5s, 21.5s, 1.8s), which would record a
+    # 10x outlier for whichever query it hits. A second attempt almost never
+    # hits the same stall, so min-of-2 is a cheap noise filter.
+    query_reps = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "2")))
+
     def timed(name: str, fn):
         nonlocal n_turns
-        t0 = time.perf_counter()
-        res = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        res = None
+        for _ in range(query_reps):
+            _drain()
+            t0 = time.perf_counter()
+            res = fn()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
         return res
 
     # headline: fused detect+merge+mask, order-restore shuffle, parquet sink.
@@ -220,6 +247,9 @@ def run_scaling(sf_dir: str) -> dict:
                 GRAFT_TURNS_PATH=big_path,
                 GRAFT_BENCH_OUT_DIR=out_dir,
                 GRAFT_BENCH_REPEATS="1",
+                # scaling interleaves its own repeats across levels; a
+                # per-query min here would hide the interleaving
+                GRAFT_BENCH_QUERY_REPEATS="1",
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
