@@ -51,6 +51,61 @@ def test_generator_pages_extract_to_expected_main():
         assert strip_boilerplate(html).main_text == want
 
 
+def test_mixed_turns_with_embedded_html_payloads(ray_session):
+    """The north-star mixed-corpus shape: a TURNS table where some turns
+    carry an embedded HTML payload and the rest are plain text. The
+    HtmlExtractor passes plain turns through untouched, strips boilerplate
+    from HTML turns, and the fused redaction composes downstream — per-turn
+    output equals the pure oracle over (extracted-or-original) text."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfredact_ray.pipelines.redact import redact_pipeline
+    from pdfredact_ray.stages.extract import HtmlExtractor
+
+    html_tbl = generate_html_table(20, label="mixed")
+    htmls = html_tbl.column("html").to_pylist()
+    expected = html_tbl.column("expected_main").to_pylist()
+    plains = [
+        "plain turn with SSN: 123-45-6789.",
+        "nothing sensitive here",
+        "this is CONFIDENTIAL",
+        "tool output line",
+    ]
+    texts, want_base = [], []
+    for i in range(40):
+        if i % 2 == 0:
+            texts.append(htmls[i // 2])
+            want_base.append(expected[i // 2])
+        else:
+            texts.append(plains[i % len(plains)])
+            want_base.append(plains[i % len(plains)])
+    n = len(texts)
+    turns = pa.table(
+        {
+            "conv_id": pa.array([f"m{i:03d}" for i in range(n)]),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+        }
+    )
+    extracted = rd.from_arrow(turns).map_batches(
+        HtmlExtractor, batch_format="pyarrow", concurrency=2
+    )
+    out = (
+        redact_pipeline(extracted, [r.to_dict() for r in default_rules()])
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    rs = compile_rules(default_rules())
+    for i in range(n):
+        want_red, _ = redact_turn(want_base[i], rs)
+        assert out.loc[f"m{i:03d}", "redacted_text"] == want_red, i
+
+
 def test_pipeline_extract_then_redact_matches_pure_oracle(ray_session, tmp_path):
     import pdfredact_ray.sources.htmldocs as H
     from pdfredact_ray.pipelines.corpus import html_extract_redact
