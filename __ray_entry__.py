@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- deduplication
         "dedup_exact": C.dedup_exact,
         "dedup_filter": C.dedup_filter,
+        "decontaminate": C.decontaminate,
         "minhash_near_dup_pairs": C.minhash_near_dup_pairs,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "simhash_signatures": C.simhash_signatures,
@@ -267,6 +268,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        # decontamination: distinct 3-token shingle overlap vs the eval
+        # subset (doc_id % 50 == 0). Engine intersects crc32-shingle SETS;
+        # the oracle intersects distinct shingle STRINGS — identical counts
+        # absent crc32 collisions (none on this corpus, same caveat as
+        # ngram_jaccard_pairs).
+        "decontaminate": r"""
+            WITH base AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM base
+            ),
+            tri AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            big AS (
+              SELECT doc_id, list_distinct(list(shingle)) AS sh
+              FROM tri WHERE shingle IS NOT NULL GROUP BY doc_id
+            ),
+            small AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM base WHERE len(toks) < 3
+            ),
+            docsh AS (SELECT * FROM big UNION ALL SELECT * FROM small),
+            ev AS (
+              SELECT list(DISTINCT shingle) AS evsh
+              FROM (SELECT unnest(sh) AS shingle FROM docsh WHERE doc_id % 50 = 0)
+            )
+            SELECT d.doc_id,
+                   CAST(len(list_intersect(d.sh, ev.evsh)) AS BIGINT) AS n_overlap,
+                   len(list_intersect(d.sh, ev.evsh)) >= 2 AS contaminated
+            FROM docsh d CROSS JOIN ev WHERE d.doc_id % 50 <> 0
         """,
         # n-gram Jaccard brute-force baseline: 3-token shingles via window
         # lead(), distinct per doc, pairwise intersect/union. The engine

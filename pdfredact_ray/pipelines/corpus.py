@@ -418,6 +418,61 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pa.T
     )
 
 
+def decontaminate(sf_dir: str, k: int = 3, min_overlap: int = 2) -> rd.Dataset:
+    """Benchmark decontamination: flag training docs sharing >= min_overlap
+    distinct k-gram shingles with the eval set (here the deterministic
+    doc_id % 50 == 0 subset stands in for an external benchmark).
+
+    Scale shape: the eval side is small BY NATURE (benchmarks are), so its
+    shingle set broadcasts once (ray.put, read per actor); the training side
+    streams through map_batches computing one set intersection per doc —
+    no shuffle at all. Returns (doc_id, n_overlap, contaminated) for
+    non-eval docs."""
+    def _mod50(col) -> pa.Array:
+        # pyarrow in this env has no modulo kernel: x - (x // 50) * 50
+        x = pc.cast(col, pa.int64())
+        return pc.subtract(x, pc.multiply(pc.divide(x, 50), 50))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    eval_tbl = pa.concat_tables(
+        ray.get(
+            docs.map_batches(
+                lambda t: t.filter(pc.equal(_mod50(t.column("doc_id")), 0)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    )
+    eval_shingles: set = set()
+    for text in eval_tbl.column("text").to_pylist():
+        eval_shingles |= word_shingles(text, k)
+    eval_ref = ray.put(frozenset(eval_shingles))
+
+    class _Overlap:
+        def __init__(self):
+            self.eval_set = ray.get(eval_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(_mod50(t.column("doc_id")), 0))
+            n_overlap = [
+                len(word_shingles(text, self.k) & self.eval_set)
+                for text in t.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_overlap": pa.array(n_overlap, pa.int64()),
+                    "contaminated": pa.array(
+                        [n >= min_overlap for n in n_overlap], pa.bool_()
+                    ),
+                }
+            )
+
+    return docs.map_batches(
+        _Overlap, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+
+
 def simhash_signatures(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash + 4×16-bit band keys per doc (near-dup bucketing)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -83,6 +83,26 @@ def test_ngram_jaccard_matches_bruteforce(ray_session, docs):
             assert ((a, b) in got_pairs) == expect, (a, b)
 
 
+def test_decontaminate_matches_set_arithmetic(ray_session, docs):
+    from pdfredact_ray.pipelines.corpus import decontaminate
+    from pdfredact_ray.stages.dedup import word_shingles
+
+    got = _pdf(decontaminate(SF)).set_index("doc_id").sort_index()
+    ev = set()
+    for r in docs.itertuples(index=False):
+        if int(r.doc_id) % 50 == 0:
+            ev |= word_shingles(r.text, 3)
+    for r in docs.itertuples(index=False):
+        d = int(r.doc_id)
+        if d % 50 == 0:
+            assert d not in got.index
+            continue
+        n = len(word_shingles(r.text, 3) & ev)
+        assert int(got.loc[d, "n_overlap"]) == n
+        assert bool(got.loc[d, "contaminated"]) == (n >= 2)
+    assert got.contaminated.any()  # duplicate-heavy corpus overlaps the eval set
+
+
 def test_conv_assemble_matches_pandas(ray_session):
     from pdfredact_ray.pipelines.turnqueries import conv_assemble
     from pdfredact_ray.sources.turns import ensure_turns
