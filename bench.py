@@ -181,11 +181,18 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
         timed("plan_then_apply", apply_flow)
         timed("dedup_exact", lambda: _consume(C.dedup_exact(sf_dir)))
+        timed("dedup_filter", lambda: _consume(C.dedup_filter(sf_dir)))
         timed("minhash_pairs", lambda: C.minhash_near_dup_pairs(sf_dir).num_rows)
+        timed("decontaminate", lambda: _consume(C.decontaminate(sf_dir)))
         timed("ann_bruteforce", lambda: _consume(C.ann_topk_bruteforce(sf_dir)))
         timed("doc_quality", lambda: _consume(C.doc_quality(sf_dir)))
         timed("events_window", lambda: _consume(C.events_tumbling_window(sf_dir)))
+        timed("events_hopping", lambda: _consume(C.events_hopping_window(sf_dir)))
         timed("lineitem_agg", lambda: _consume(C.lineitem_agg(sf_dir)))
+
+        from pdfredact_ray.pipelines import turnqueries as TQ
+
+        timed("conv_assemble", lambda: _consume(TQ.conv_assemble(sf_dir)))
 
     headline_sec = timings["redact_sorted_write"]
     return {
