@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redact_mask_equality — the apply join must reproduce fused masking
         "apply_mask_equality": T.apply_mask_equality,
         "apply_mask_equality_shuffle": T.apply_mask_equality_shuffle,
+        # S2/S3: plan persisted via write_plan, re-read + re-bound from disk
+        "plan_roundtrip_apply": T.plan_roundtrip_apply,
         "conv_assemble": T.conv_assemble,
         # resumable lineage job end-to-end (S4 sink, hash-bucket layout)
         "job_turn_counts": T.job_turn_counts,
@@ -108,8 +110,10 @@ def oracle_sql() -> dict[str, str]:
     from pdfredact_ray.sources.htmldocs import ensure_html_docs
 
     from pdfredact_ray.sources.binimg import ensure_images, ensure_videos
+    from pdfredact_ray.sources.turns import ensure_expected
 
     turns = ensure_turns("sf0.01")
+    expected = ensure_expected("sf0.01")
     htmldocs = ensure_html_docs("sf0.01")
     images = ensure_images("sf0.01")
     videos = ensure_videos("sf0.01")
@@ -181,9 +185,28 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        # FLAGSHIP exact oracle: the generator's construction-knowledge ground
+        # truth (sources/turns.py expected.parquet — computed from what was
+        # injected where, never by running the engine) pins redacted bytes AND
+        # region counts for every turn, layout payloads included.
+        "redact_full": f"""
+            SELECT t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+                   e.expected_redacted AS redacted_text,
+                   e.expected_n AS n_redactions
+            FROM read_parquet('{turns}') t
+            JOIN read_parquet('{expected}') e USING (conv_id, turn_idx)
+        """,
+        "redact_fragment_digits": f"""
+            SELECT conv_id, turn_idx,
+                   expected_frag_redacted AS redacted_text,
+                   expected_frag_n AS n_redactions
+            FROM read_parquet('{expected}')
+            WHERE expected_frag_n > 0
+        """,
         "redact_mask_equality": mask_equality,
         "apply_mask_equality": mask_equality,
         "apply_mask_equality_shuffle": mask_equality,
+        "plan_roundtrip_apply": mask_equality,
         "conv_assemble": f"""
             SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
                    string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS conv_text
@@ -523,11 +546,10 @@ def oracle_sql() -> dict[str, str]:
                   ) >= 0.4
             ORDER BY id_a, id_b
         """,
-        # Remaining rows-only (6): redact_full / redact_fragment_digits
-        # (fragment tokenizer + layout payloads are not SQL-expressible;
-        # pytest covers byte equality), minhash_near_dup_pairs + ann_topk_ivf
+        # Remaining rows-only (3): minhash_near_dup_pairs + ann_topk_ivf
         # (approximate by construction; pytest holds the brute-force /
-        # recall oracles), html_extract_redact (DOM + fragment redaction;
-        # the extraction leg is hash-checked via html_extract_text), and
-        # entry()'s redact_full flagship shape.
+        # recall oracles) and html_extract_redact (DOM + fragment redaction
+        # composition; the extraction leg is hash-checked via
+        # html_extract_text). redact_full / redact_fragment_digits gained
+        # exact oracles in round 3 via the generator ground-truth sidecar.
     }

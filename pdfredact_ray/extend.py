@@ -133,7 +133,16 @@ def write_plan(
     os.makedirs(parent, exist_ok=True)
     if path.endswith(".json"):
         rows = []
-        cols = {snake: plan.column(snake).to_pylist() for snake, _ in _JSON_FIELDS}
+        # 'members' mirrors the read-side tolerance: a pre-members plan table
+        # through the public U3 API emits null instead of raising KeyError.
+        cols = {
+            snake: (
+                plan.column(snake).to_pylist()
+                if snake != "members" or snake in plan.column_names
+                else [None] * plan.num_rows
+            )
+            for snake, _ in _JSON_FIELDS
+        }
         for i in range(plan.num_rows):
             rows.append({camel: cols[snake][i] for snake, camel in _JSON_FIELDS})
         doc = {

@@ -96,6 +96,43 @@ def apply_mask_equality_shuffle(sf_dir: str) -> rd.Dataset:
     return _apply_equality(sf_dir, broadcast_max_rows=0)
 
 
+def plan_roundtrip_apply(sf_dir: str) -> rd.Dataset:
+    """S2/S3 driver coverage: detect -> ``write_plan`` to a parquet file with
+    self-binding metadata -> ``read_plan`` + ``read_plan_meta`` from disk ->
+    re-bind the turns input FROM THE PLAN -> apply. Same oracle as
+    apply_mask_equality, so the persisted plan round-trip (extend.py U3, the
+    RedactionPlanSerializer.cs:38-82 analog) is hash-checked end-to-end."""
+    import os
+    import tempfile
+
+    import ray
+
+    from pdfredact_ray.extend import read_plan, read_plan_meta, write_plan
+    from pdfredact_ray.functions.rules import compile_rules
+
+    turns_path = ensure_turns(sf_dir)
+    plan_ds = plan_pipeline(_plain(read_turns(turns_path)), MASK_EQUALITY_RULES)
+    plan_tbl = pa.concat_tables(
+        [t for t in ray.get(plan_ds.to_arrow_refs()) if len(t.schema)]
+    )
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        "pdfredact_plan_roundtrip",
+        os.path.basename(os.path.dirname(turns_path)) + ".plan.parquet",
+    )
+    rs_hash = compile_rules(MASK_EQUALITY_RULES).content_hash()
+    write_plan(plan_tbl, out_path, source_path=turns_path, ruleset_hash=rs_hash)
+
+    meta = read_plan_meta(out_path)
+    assert meta["source_path"] == turns_path and meta["ruleset_hash"] == rs_hash
+    plan_back = read_plan(out_path)
+    out = apply_pipeline(_plain(read_turns(meta["source_path"])), plan_back)
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "redacted_text"]),
+        batch_format="pyarrow",
+    )
+
+
 def redact_match_counts(sf_dir: str) -> pa.Table:
     """Total match/region count per rule over plain turns. Partial counts
     combine inside map_batches; only (rule_pattern, count) rows shuffle."""

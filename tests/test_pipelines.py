@@ -126,3 +126,60 @@ def test_plan_counts_match_spans(ray_session, turns_file):
     red = redact_pipeline(read_turns(turns_file), SPECS)
     total = red.to_pandas()["n_redactions"].sum()
     assert plan_rows == total
+
+
+def test_generator_ground_truth_default_rules(ray_session, turns_file):
+    """The generator's construction-knowledge sidecar (expected.parquet) must
+    equal the engine's fused redaction byte-for-byte — the flagship oracle
+    (redact_full) exercised in-process."""
+    import os
+
+    from pdfredact_ray.sources.turns import expected_path
+
+    exp = pq.read_table(
+        expected_path("sf-test", os.path.dirname(os.path.dirname(turns_file)))
+    )
+    emap = {
+        (c, t): (r, n)
+        for c, t, r, n in zip(
+            exp.column("conv_id").to_pylist(),
+            exp.column("turn_idx").to_pylist(),
+            exp.column("expected_redacted").to_pylist(),
+            exp.column("expected_n").to_pylist(),
+        )
+    }
+    got = redact_pipeline(read_turns(turns_file), [r.to_dict() for r in default_rules()]).to_pandas()
+    assert len(got) == len(emap)
+    for row in got.itertuples(index=False):
+        red, n = emap[(row.conv_id, row.turn_idx)]
+        assert row.redacted_text == red, (row.conv_id, row.turn_idx)
+        assert row.n_redactions == n, (row.conv_id, row.turn_idx)
+
+
+def test_generator_ground_truth_fragment_rule(ray_session, turns_file):
+    import os
+
+    from pdfredact_ray.sources.turns import expected_path
+
+    exp = pq.read_table(
+        expected_path("sf-test", os.path.dirname(os.path.dirname(turns_file)))
+    )
+    emap = {
+        (c, t): (r, n)
+        for c, t, r, n in zip(
+            exp.column("conv_id").to_pylist(),
+            exp.column("turn_idx").to_pylist(),
+            exp.column("expected_frag_redacted").to_pylist(),
+            exp.column("expected_frag_n").to_pylist(),
+        )
+    }
+    rules = [RedactionRule(r"\d{4,}", is_regex=True, fragment_aware=True).to_dict()]
+    got = redact_pipeline(read_turns(turns_file), rules).to_pandas()
+    assert len(got) == len(emap)
+    n_hit = 0
+    for row in got.itertuples(index=False):
+        red, n = emap[(row.conv_id, row.turn_idx)]
+        assert row.redacted_text == red, (row.conv_id, row.turn_idx)
+        assert row.n_redactions == n, (row.conv_id, row.turn_idx)
+        n_hit += 1 if n > 0 else 0
+    assert n_hit > 0  # corpus contains digit-run turns at every scale
