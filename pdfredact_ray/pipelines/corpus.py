@@ -85,18 +85,30 @@ def _doc_id_key(t: pa.Table) -> pa.Array:
     return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
 
 
-class _KeyFilter:
-    """Actor stage: keep rows whose derived int64 key is in a broadcast value
-    set — a vectorized semi-join (``pc.is_in``), with the value set read from
-    the object store ONCE per actor in ``__init__`` (never re-shipped or
-    re-pickled per task)."""
+def _digest_key(t: pa.Table) -> pa.Array:
+    col = t.column("digest")
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
-    def __init__(self, values_ref, key_fn):
-        self.values = ray.get(values_ref) if not isinstance(values_ref, pa.Array) else values_ref
-        self.key_fn = key_fn
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(self.key_fn(t), value_set=self.values))
+def _semi_join(t: pa.Table, values_ref, key_fn, invert: bool = False) -> pa.Table:
+    """Task-based vectorized semi/anti-join: keep (or drop) rows whose
+    derived key is in a broadcast value set. Used via plain-function
+    ``map_batches(_semi_join, fn_args=(ref, key_fn))`` — a TASK pool, not a
+    fixed actor pool: one-shot filter stages paid seconds of actor startup
+    for a single ``pc.is_in`` pass (the round-2 minhash/dedup_filter bench
+    regression). ``ray.get`` of a ``ray.put`` ref inside a task is one
+    local object-store read (zero-copy for Arrow arrays)."""
+    values = values_ref if isinstance(values_ref, pa.Array) else ray.get(values_ref)
+    m = pc.is_in(key_fn(t), value_set=values)
+    return t.filter(pc.invert(m) if invert else m)
+
+
+def _collect(ds: rd.Dataset) -> Optional[pa.Table]:
+    """Materialize a (small) dataset driver-side, tolerating the empty
+    zero-column blocks Ray aggregates sometimes emit; None when nothing
+    schema-bearing survives (e.g. a degenerate empty input)."""
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if len(t.schema)]
+    return pa.concat_tables(tbls) if tbls else None
 
 
 def dedup_filter(sf_dir: str) -> rd.Dataset:
@@ -115,49 +127,31 @@ def dedup_filter(sf_dir: str) -> rd.Dataset:
     pairs = docs.map_batches(digest, batch_format="pyarrow").materialize()
     # digests with >1 member (rare), then their non-min members: the driver
     # pulls O(dups) rows, never O(corpus) — same shape as MinHash's
-    # hot-bucket fetch
+    # hot-bucket fetch. The two filter passes below are one-shot vectorized
+    # is_in scans: TASK-based map_batches (no fixed actor pool — actor
+    # startup dominated the round-2 bench at ~seconds per pool). The text is
+    # streamed twice (digest pass + final filter) by construction: a fused
+    # single pass would have to materialize the corpus text, which is the
+    # wrong trade at 100 TB.
     stats = pairs.groupby("digest").count()
-    hot_tbl = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                stats.map_batches(
-                    lambda t: t
-                    if t.num_columns == 0
-                    else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
-                    batch_format="pyarrow",
-                ).to_arrow_refs()
-            )
-            if len(t.schema)
-        ]
+    hot_tbl = _collect(
+        stats.map_batches(
+            lambda t: t
+            if t.num_columns == 0
+            else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
+            batch_format="pyarrow",
+        )
     )
-    if hot_tbl.num_rows == 0:
+    if hot_tbl is None or hot_tbl.num_rows == 0:
         return docs
     hot_digests = hot_tbl.column("digest").combine_chunks()
 
-    class _HotMembers:
-        def __init__(self, hot_ref):
-            self.hot = ray.get(hot_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            col = t.column("digest")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return t.filter(pc.is_in(col, value_set=self.hot))
-
-    members = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                pairs.map_batches(
-                    _HotMembers,
-                    fn_constructor_kwargs={"hot_ref": ray.put(hot_digests)},
-                    batch_format="pyarrow",
-                    concurrency=default_concurrency(),
-                ).to_arrow_refs()
-            )
-            if len(t.schema)
-        ]
+    members = _collect(
+        pairs.map_batches(
+            _semi_join,
+            fn_args=(ray.put(hot_digests), _digest_key),
+            batch_format="pyarrow",
+        )
     )
     by_digest: dict = {}
     for dg, d in zip(
@@ -167,20 +161,11 @@ def dedup_filter(sf_dir: str) -> rd.Dataset:
     dups = sorted(d for ids in by_digest.values() for d in ids if d != min(ids))
     dup_ids = pa.array(dups, type=pa.int64())
 
-    class _DropDups:
-        def __init__(self, dup_ref):
-            self.dups = ray.get(dup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(
-                pc.invert(pc.is_in(_doc_id_key(t), value_set=self.dups))
-            )
-
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _DropDups,
-        fn_constructor_kwargs={"dup_ref": ray.put(dup_ids)},
+        _semi_join,
+        fn_args=(ray.put(dup_ids), _doc_id_key),
+        fn_kwargs={"invert": True},
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
 
 
@@ -254,6 +239,36 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
 # table is ~1.6e11 rows and takes the distributed path.
 DRIVER_BUCKET_MAX_ROWS = 50_000_000
 
+# Per-bucket member cap: a bucket with more identical-band docs than this is
+# the exact-duplicate pathology (run dedup_exact first); members beyond the
+# cap are dropped from pair generation and the truncation is SURFACED via
+# the returned table's schema metadata + a log line (no silent caps).
+BUCKET_MEMBER_CAP = 64
+
+_log = __import__("logging").getLogger("pdfredact_ray.corpus")
+
+
+def _buckets_to_pairs(key_s: np.ndarray, did_s: np.ndarray, cap: int = BUCKET_MEMBER_CAP):
+    """Candidate pairs from a bucket-key-sorted (key, doc_id) run list.
+    Returns (pairs_set, n_capped_buckets, n_dropped_members)."""
+    bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
+    bounds = np.append(bounds, len(key_s))
+    pairs_set: set = set()
+    capped_buckets = 0
+    dropped_members = 0
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a < 2:
+            continue
+        ids = sorted(set(did_s[a:b].tolist()))
+        if len(ids) > cap:
+            capped_buckets += 1
+            dropped_members += len(ids) - cap
+            ids = ids[:cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs_set.add((ids[i], ids[j]))
+    return pairs_set, capped_buckets, dropped_members
+
 
 def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     """MinHash+LSH near-dup: shingle → 64 minhashes → 16 bands → explode to
@@ -289,73 +304,56 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         did = tbl.column("doc_id").to_numpy().astype(np.int64)
         key = band * (np.int64(1) << np.int64(33)) + bhash  # band_hash < 2^32
         order = np.argsort(key, kind="stable")
-        key_s, did_s = key[order], did[order]
-        # run boundaries = bucket boundaries
-        bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
-        bounds = np.append(bounds, len(key_s))
-        pairs_set = set()
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            if b - a < 2:
-                continue
-            ids = sorted(set(did_s[a:b].tolist()))[:64]  # cap pathological buckets
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs_set.add((ids[i], ids[j]))
+        pairs_set, capped_buckets, dropped_members = _buckets_to_pairs(
+            key[order], did[order]
+        )
     else:
         # distributed path: ONE vectorized count shuffle finds hot buckets
         # (>1 member — rare by LSH construction), then only their members
-        # come back to the driver: O(near-dups), not O(corpus). All filters
-        # are Arrow kernels over a fused int64 bucket key (band_hash < 2^32,
-        # band_id < 16, so band_id*2^33 + band_hash is collision-free), and
-        # the hot-key set is ray.put once and read per actor in __init__ —
-        # never closure-captured into per-task pickles.
+        # come back to the driver: O(near-dups), not O(corpus). The member
+        # fetch is a one-shot task-based is_in semi-join over a fused int64
+        # bucket key (band_hash < 2^32, band_id < 16, so band_id*2^33 +
+        # band_hash is collision-free); the hot-key set is ray.put once and
+        # read from the local object store per task.
         counts = banded.groupby(["band_id", "band_hash"]).count()
-        hot_tbl = pa.concat_tables(
-            [
-                t
-                for t in ray.get(
-                    counts.map_batches(
-                        lambda t: t
-                        if t.num_columns == 0
-                        else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
-                        batch_format="pyarrow",
-                    ).to_arrow_refs()
-                )
-                if len(t.schema)
-            ]
+        hot_tbl = _collect(
+            counts.map_batches(
+                lambda t: t
+                if t.num_columns == 0
+                else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
+                batch_format="pyarrow",
+            )
         )
-        if hot_tbl.num_rows == 0:
+        if hot_tbl is None or hot_tbl.num_rows == 0:
             return empty
-        hot_keys = _fused_bucket_key(hot_tbl)
-        members = pa.concat_tables(
-            ray.get(
-                banded.map_batches(
-                    _KeyFilter,
-                    fn_constructor_kwargs={
-                        "values_ref": ray.put(hot_keys),
-                        "key_fn": _fused_bucket_key,
-                    },
-                    batch_format="pyarrow",
-                    concurrency=default_concurrency(),
-                ).to_arrow_refs()
+        members = _collect(
+            banded.map_batches(
+                _semi_join,
+                fn_args=(ray.put(_fused_bucket_key(hot_tbl)), _fused_bucket_key),
+                batch_format="pyarrow",
             )
         )
         key_np = _fused_bucket_key(members).to_numpy().astype(np.int64)
         did_np = members.column("doc_id").to_numpy().astype(np.int64)
         order = np.argsort(key_np, kind="stable")
-        key_s, did_s = key_np[order], did_np[order]
-        bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
-        bounds = np.append(bounds, len(key_s))
-        pairs_set = set()
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            ids = sorted(set(did_s[a:b].tolist()))[:64]  # cap pathological buckets
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs_set.add((ids[i], ids[j]))
+        pairs_set, capped_buckets, dropped_members = _buckets_to_pairs(
+            key_np[order], did_np[order]
+        )
+
+    if capped_buckets:
+        _log.warning(
+            "minhash_near_dup_pairs: %d bucket(s) over %d members; %d member(s) "
+            "dropped from pair generation (exact-dup pathology — run dedup first)",
+            capped_buckets, BUCKET_MEMBER_CAP, dropped_members,
+        )
+    meta = {
+        b"minhash.capped_buckets": str(capped_buckets).encode(),
+        b"minhash.dropped_members": str(dropped_members).encode(),
+    }
 
     cand = sorted(pairs_set)
     if not cand:
-        return empty
+        return empty.replace_schema_metadata(meta)
     cand_tbl = pa.table(
         {
             "doc_a": pa.array([a for a, _ in cand], pa.int64()),
@@ -363,7 +361,7 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         }
     )
     # pull only the candidate docs' texts (O(near-dups), not O(corpus)) —
-    # a vectorized is_in semi-join against the broadcast candidate-id set
+    # a one-shot task-based is_in semi-join against the broadcast id set
     cand_ids = pa.array(
         sorted(
             set(cand_tbl.column("doc_a").to_pylist())
@@ -371,24 +369,18 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         ),
         type=pa.int64(),
     )
-    cand_docs = pa.concat_tables(
-        ray.get(
-            docs.map_batches(
-                _KeyFilter,
-                fn_constructor_kwargs={
-                    "values_ref": ray.put(cand_ids),
-                    "key_fn": _doc_id_key,
-                },
-                batch_format="pyarrow",
-                concurrency=default_concurrency(),
-            ).to_arrow_refs()
+    cand_docs = _collect(
+        docs.map_batches(
+            _semi_join,
+            fn_args=(ray.put(cand_ids), _doc_id_key),
+            batch_format="pyarrow",
         )
     )
     texts = dict(
         zip(cand_docs.column("doc_id").to_pylist(), cand_docs.column("text").to_pylist())
     )
     verifier = PairVerifier(texts, threshold=threshold)
-    return verifier(cand_tbl)
+    return verifier(cand_tbl).replace_schema_metadata(meta)
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pa.Table:
@@ -511,7 +503,9 @@ def doc_langid(sf_dir: str) -> rd.Dataset:
 # --------------------------------------------------------- similarity search
 
 def _query_set(sf_dir: str, n_queries: int = 8):
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
     q_tbl = pa.concat_tables(
         ray.get(
             emb.map_batches(
@@ -543,7 +537,7 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> rd.Data
         concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
-        lambda g: final_topk(g, k=k), batch_format="pandas"
+        lambda g: final_topk(g, k=k), batch_format="pyarrow"
     )
 
 
@@ -568,7 +562,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16
         concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
-        lambda g: final_topk(g, k=k), batch_format="pandas"
+        lambda g: final_topk(g, k=k), batch_format="pyarrow"
     )
 
 

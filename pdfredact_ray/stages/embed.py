@@ -65,15 +65,23 @@ class BruteForceTopK:
         )
 
 
-def final_topk(group, k: int = 10):
-    """map_groups kernel: merge per-batch partials into the global top-k with
-    a deterministic (sim desc, vec_id asc) tie-break and emit rank."""
-    import pandas as pd
-
-    g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "vec_id", "rank"]]
+def final_topk(group: pa.Table, k: int = 10) -> pa.Table:
+    """map_groups kernel (Arrow): merge per-batch partials into the global
+    top-k with a deterministic (sim desc, vec_id asc) tie-break, emit rank."""
+    sims = group.column("sim").to_numpy()
+    vids = group.column("vec_id").to_numpy()
+    # lexsort: last key is primary -> sim desc, then vec_id asc
+    order = np.lexsort((vids, -sims))[:k]
+    qcol = group.column("query_id")
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    return pa.table(
+        {
+            "query_id": qcol.take(pa.array(order)),
+            "vec_id": pa.array(vids[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )
 
 
 class CosinePairFinder:

@@ -434,3 +434,42 @@ def test_sharded_turns_generation(ray_session, tmp_path):
     # shard-unique conv prefixes: no conv id can span two shards
     prefixes = {c.split("-")[0] for c in t1.column("conv_id").to_pylist()}
     assert prefixes == {"c0000", "c0001", "c0002", "c0003"}
+
+
+def test_minhash_bucket_cap_unit():
+    """_buckets_to_pairs surfaces truncation: a 70-member bucket caps at
+    BUCKET_MEMBER_CAP and reports (capped_buckets, dropped_members)."""
+    from pdfredact_ray.pipelines.corpus import BUCKET_MEMBER_CAP, _buckets_to_pairs
+
+    n = 70
+    key = np.concatenate([np.zeros(n, np.int64), np.ones(3, np.int64)])
+    did = np.concatenate([np.arange(n, dtype=np.int64), np.array([100, 101, 102])])
+    pairs, capped, dropped = _buckets_to_pairs(key, did)
+    assert capped == 1
+    assert dropped == n - BUCKET_MEMBER_CAP
+    cap = BUCKET_MEMBER_CAP
+    assert len(pairs) == cap * (cap - 1) // 2 + 3
+    # members beyond the cap never appear in a pair
+    assert not any(a >= cap and a < 100 or (b >= cap and b < 100) for a, b in pairs)
+
+
+def test_minhash_bucket_cap_metadata_surfaced(ray_session, tmp_path):
+    """A corpus with >cap identical docs yields a capped-bucket count in the
+    result's schema metadata (no silent caps)."""
+    from pdfredact_ray.pipelines.corpus import BUCKET_MEMBER_CAP, minhash_near_dup_pairs
+
+    n_dup = BUCKET_MEMBER_CAP + 8
+    text = "the same exact duplicated document body repeated many times over"
+    rows = {
+        "doc_id": pa.array(list(range(n_dup)) + [900, 901], pa.int64()),
+        "text": pa.array(
+            [text] * n_dup
+            + ["something entirely different one", "another unrelated text two"],
+            pa.string(),
+        ),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = minhash_near_dup_pairs(str(tmp_path), threshold=0.5)
+    meta = out.schema.metadata or {}
+    assert int(meta[b"minhash.capped_buckets"]) >= 1
+    assert int(meta[b"minhash.dropped_members"]) >= 8
