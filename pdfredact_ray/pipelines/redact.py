@@ -64,6 +64,18 @@ BROADCAST_PLAN_MAX_ROWS = 2_000_000
 # shrink it to force keys to straddle batch boundaries).
 _PACK_BATCH_SIZE = 65536
 
+# Typed span payload for the packed-plan combiner (shuffle-join path):
+# mirrors the plan schema's (start, end, rule_pattern, members) with a
+# nullable members list (None = envelope fallback, schema.PLAN semantics).
+PACKED_SPAN = pa.struct(
+    [
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("rule_pattern", pa.string()),
+        ("members", pa.list_(pa.int32())),
+    ]
+)
+
 
 def read_turns(path: Union[str, Sequence[str]], columns: Optional[Sequence[str]] = None) -> rd.Dataset:
     """Prune at the read: detection needs (conv_id, turn_idx, text) + the
@@ -140,11 +152,87 @@ def apply_pipeline(
     )
 
 
+def _packed_spans_array(values) -> pa.Array:
+    """list<struct> span payload for the packed-plan table: typed Arrow data
+    end to end (no JSON codec per span). ``members`` stays nullable — None
+    means envelope fallback, exactly as in the plan schema."""
+    return pa.array(
+        [
+            [
+                {"start": s, "end": e, "rule_pattern": r, "members": m}
+                for s, e, r, m in v
+            ]
+            for v in values
+        ],
+        type=pa.list_(PACKED_SPAN),
+    )
+
+
+def _packed_key_col(t: pa.Table) -> pa.Array:
+    k = pc.binary_join_element_wise(
+        pc.cast(t.column("conv_id"), pa.string()),
+        pc.cast(t.column("turn_idx"), pa.string()),
+        "\x1f",
+    )
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
+def _split_filter(t: pa.Table, keys_ref, keep_dups: bool) -> pa.Table:
+    """One-shot task-based semi/anti-join against the broadcast split-key
+    set (``ray.get`` of a ``ray.put`` ref inside a task = one local
+    object-store read; no actor-pool startup for a single is_in pass)."""
+    keys = keys_ref if isinstance(keys_ref, pa.Array) else ray.get(keys_ref)
+    m = pc.is_in(_packed_key_col(t), value_set=keys)
+    return t.filter(m if keep_dups else pc.invert(m))
+
+
+def _merge_packed_group(g: pa.Table) -> pa.Table:
+    """map_groups kernel: final per-key combine for a boundary-split turn —
+    concatenate its packed span lists into one row (distributed; the driver
+    never touches span payloads)."""
+    spans: list = []
+    for lst in g.column("packed_spans").to_pylist():
+        spans.extend(
+            (d["start"], d["end"], d["rule_pattern"], d["members"]) for d in lst
+        )
+    spans.sort(key=lambda x: (x[0], x[1], x[2]))
+    return pa.table(
+        {
+            "conv_id": g.column("conv_id").slice(0, 1),
+            "turn_idx": g.column("turn_idx").slice(0, 1),
+            "packed_spans": _packed_spans_array([spans]),
+        }
+    )
+
+
+def _encode_packed(t: pa.Table) -> pa.Table:
+    """Serialize each turn's ``list<struct>`` span payload to one binary
+    cell so it can ride through ``Dataset.join`` (see the call site for the
+    Acero nested-payload limitation)."""
+    import pickle
+
+    col = t.column("packed_spans")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pa.array(
+        [
+            pickle.dumps(
+                [(d["start"], d["end"], d["rule_pattern"], d["members"]) for d in v],
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+            for v in col.to_pylist()
+        ],
+        type=pa.binary(),
+    )
+    return t.set_column(
+        t.schema.get_field_index("packed_spans"), "packed_spans", enc
+    )
+
+
 def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
     """Large-plan path: pre-aggregate plan rows per turn into packed span
     lists (combiner before the shuffle), then a hash-partitioned left-outer
     Dataset.join on (conv_id, turn_idx), then mask per row."""
-    import json
 
     def pack(batch: pa.Table) -> pa.Table:
         # partial combine: one row per (conv, turn) per batch
@@ -153,9 +241,7 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
             {
                 "conv_id": pa.array([k[0] for k in idx], type=pa.string()),
                 "turn_idx": pa.array([k[1] for k in idx], type=pa.int32()),
-                "packed_spans": pa.array(
-                    [json.dumps(v) for v in idx.values()], type=pa.string()
-                ),
+                "packed_spans": _packed_spans_array(idx.values()),
             }
         )
 
@@ -166,92 +252,56 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
     # yields >1 packed row, and a left-outer join against duplicate keys
     # DUPLICATES that turn in the output (measured: 16,000,007 rows from a
     # 16,000,000-turn input). Split keys are O(number of batches), so find
-    # them with one skinny groupby-count and merge only those rows
-    # driver-side — never a full-plan re-shuffle.
-    dup_tbl = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                packed.groupby(["conv_id", "turn_idx"])
-                .count()
-                .map_batches(
-                    # aggregates can emit empty zero-column blocks: pass through
-                    lambda t: t
-                    if t.num_columns == 0
-                    else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(
-                        ["count()"]
-                    ),
-                    batch_format="pyarrow",
-                )
-                .to_arrow_refs()
-            )
-            if len(t.schema)
-        ]
-    )
-    if dup_tbl.num_rows > 0:
-        dup_keys = pa.array(
-            [
-                f"{c}\x1f{t}"
-                for c, t in zip(
-                    dup_tbl.column("conv_id").to_pylist(),
-                    dup_tbl.column("turn_idx").to_pylist(),
-                )
-            ],
-            type=pa.string(),
-        )
-
-        def _key_col(t: pa.Table) -> pa.Array:
-            k = pc.binary_join_element_wise(
-                pc.cast(t.column("conv_id"), pa.string()),
-                pc.cast(t.column("turn_idx"), pa.string()),
-                "\x1f",
-            )
-            return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
-
-        dup_ref = ray.put(dup_keys)
-
-        class _SplitFilter:
-            def __init__(self, keep_dups: bool):
-                self.keep_dups = keep_dups
-                self.keys = ray.get(dup_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                m = pc.is_in(_key_col(t), value_set=self.keys)
-                return t.filter(m if self.keep_dups else pc.invert(m))
-
-        uniq = packed.map_batches(
-            _SplitFilter, fn_constructor_kwargs={"keep_dups": False},
-            batch_format="pyarrow", concurrency=concurrency,
-        )
-        split_rows = pa.concat_tables(
-            [
-                t
-                for t in ray.get(
-                    packed.map_batches(
-                        _SplitFilter, fn_constructor_kwargs={"keep_dups": True},
-                        batch_format="pyarrow", concurrency=concurrency,
-                    ).to_arrow_refs()
-                )
-                if len(t.schema)
-            ]
-        )
-        merged: dict = {}
-        for c, ti, p in zip(
-            split_rows.column("conv_id").to_pylist(),
-            split_rows.column("turn_idx").to_pylist(),
-            split_rows.column("packed_spans").to_pylist(),
-        ):
-            merged.setdefault((c, ti), []).extend(json.loads(p))
-        merged_tbl = pa.table(
-            {
-                "conv_id": pa.array([k[0] for k in merged], type=pa.string()),
-                "turn_idx": pa.array([k[1] for k in merged], type=pa.int32()),
-                "packed_spans": pa.array(
-                    [json.dumps(v) for v in merged.values()], type=pa.string()
+    # them with one skinny groupby-count; only those rows re-shuffle through
+    # a tiny groupby().map_groups combine — the driver holds the KEY LIST
+    # only, never span payloads.
+    dup_tbls = [
+        t
+        for t in ray.get(
+            packed.groupby(["conv_id", "turn_idx"])
+            .count()
+            .map_batches(
+                # aggregates can emit empty zero-column blocks: pass through
+                lambda t: t
+                if t.num_columns == 0
+                else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(
+                    ["count()"]
                 ),
-            }
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
         )
-        packed = uniq.union(rd.from_arrow(merged_tbl))
+        if len(t.schema)
+    ]
+    dup_tbl = pa.concat_tables(dup_tbls) if dup_tbls else None
+    if dup_tbl is not None and dup_tbl.num_rows > 0:
+        dup_keys = _packed_key_col(dup_tbl)
+        keys_ref = ray.put(dup_keys)
+        split = packed.map_batches(
+            _split_filter,
+            fn_args=(keys_ref,),
+            fn_kwargs={"keep_dups": True},
+            batch_format="pyarrow",
+        )
+        merged = split.groupby(["conv_id", "turn_idx"]).map_groups(
+            _merge_packed_group, batch_format="pyarrow"
+        )
+        rest = packed.map_batches(
+            _split_filter,
+            fn_args=(keys_ref,),
+            fn_kwargs={"keep_dups": False},
+            batch_format="pyarrow",
+        )
+        packed = rest.union(merged)
+    # Join-boundary codec: Acero's hash join (which backs Dataset.join)
+    # rejects nested types in non-key payload columns (ArrowInvalid: "Data
+    # type list<struct<...>> is not supported in join non-key field"), so the
+    # typed list<struct> payload — used end to end through pack and the
+    # distributed split-key combine above — is packed into ONE binary cell
+    # per turn for the join hop only. pickle round-trips members=None (the
+    # envelope-fallback sentinel) and is cheaper than the per-span JSON codec
+    # this replaces; only plan-HIT turns (one packed row each) pay it.
+    packed = packed.map_batches(_encode_packed, batch_format="pyarrow")
     # Partition count grows with the PLAN (target ~2M rows per partition so
     # partition state stays bounded at any plan size), floored at the
     # cluster core count and capped at 2x: measured at 16M turns / 16 CPUs,
@@ -278,6 +328,8 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
         scatter back to input order via concat + take (the same shape as
         the detect prefilter emission). Measured at 16M turns / 16 CPUs:
         the row loop over all rows cost 341s of UDF time."""
+        import pickle
+
         import numpy as np
 
         from pdfredact_ray.schema import REDACTED, SPAN
@@ -302,9 +354,9 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
             packed_sub = packed.take(pa.array(hit_idx)).to_pylist()
             red_sub, spans_sub, nred_sub = [], [], []
             for text, p in zip(texts_sub, packed_sub):
-                # (start, end, rule_pattern, members-or-None) — lists/None
-                # round-trip through the packed-JSON combiner unchanged
-                all_spans = [tuple(s) for s in json.loads(p)]
+                # (start, end, rule_pattern, members-or-None) tuples from the
+                # join-boundary binary codec (typed everywhere else)
+                all_spans = pickle.loads(p)
                 all_spans.sort(key=lambda x: (x[0], x[1], x[2]))
                 red_sub.append(apply_spans_to_text(text, all_spans))
                 spans_sub.append(
