@@ -37,11 +37,16 @@ def _build_rules(args) -> List[dict]:
         fragment = True
     elif getattr(args, "no_fragment_aware", False):
         fragment = False
+    cs = getattr(args, "case_sensitive", None)
+    if cs == "true" and args.ignore_case:
+        print("error: --ignore-case conflicts with --case-sensitive true", file=sys.stderr)
+        raise SystemExit(1)
+    case_sensitive = cs != "false" and not args.ignore_case
     return [
         {
             "pattern": p,
             "is_regex": args.regex,
-            "case_sensitive": not args.ignore_case,
+            "case_sensitive": case_sensitive,
             "fragment_aware": fragment,
         }
         for p in (args.pattern or [])
@@ -66,12 +71,22 @@ def _init_ray(num_cpus: Optional[int]) -> bool:
 
 
 def _add_common(p: argparse.ArgumentParser, need_rules: bool = True) -> None:
-    p.add_argument("--input", required=True, help="turns parquet path or dir")
+    # short spellings mirror the reference CLI (README.md:91-97: -i/-o/-p/-r/-c)
+    p.add_argument("-i", "--input", required=True, help="turns parquet path or dir")
     p.add_argument("--num-cpus", type=int, default=None)
     if need_rules:
         p.add_argument("-p", "--pattern", action="append", help="rule pattern (repeatable)")
-        p.add_argument("--regex", action="store_true", help="patterns are regexes")
+        p.add_argument("-r", "--regex", action="store_true", help="patterns are regexes")
         p.add_argument("--ignore-case", action="store_true")
+        p.add_argument(
+            "-c",
+            "--case-sensitive",
+            nargs="?",
+            const="true",
+            choices=["true", "false"],
+            default=None,
+            help="case-sensitive matching (default: true; reference spelling)",
+        )
         p.add_argument("--fragment-aware", action="store_true")
         p.add_argument("--no-fragment-aware", action="store_true")
         p.add_argument("--rules-file", help="JSON list of rule dicts (overrides -p)")
@@ -83,26 +98,27 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_plan = sub.add_parser("plan", help="detect only -> plan parquet")
     _add_common(p_plan)
-    p_plan.add_argument("--out", required=True)
+    p_plan.add_argument("-o", "--out", "--output", required=True)
 
     p_apply = sub.add_parser("apply", help="plan + turns -> redacted parquet")
     p_apply.add_argument(
+        "-i",
         "--input",
         help="turns parquet path or dir; defaults to the plan's recorded "
         "source (the plan self-binds like the reference's sourcePdfPath)",
     )
     p_apply.add_argument("--num-cpus", type=int, default=None)
     p_apply.add_argument("--plan", required=True)
-    p_apply.add_argument("--out", required=True)
+    p_apply.add_argument("-o", "--out", "--output", required=True)
 
     p_red = sub.add_parser("redact", help="fused detect+mask -> redacted parquet")
     _add_common(p_red)
-    p_red.add_argument("--out", required=True)
+    p_red.add_argument("-o", "--out", "--output", required=True)
     p_red.add_argument("--save-plan", help="also write the plan table here")
 
     p_job = sub.add_parser("job", help="resumable lineage-tracked redaction")
     _add_common(p_job)
-    p_job.add_argument("--out", required=True)
+    p_job.add_argument("-o", "--out", "--output", required=True)
     p_job.add_argument("--buckets", type=int, default=64)
     p_job.add_argument("--no-resume", action="store_true")
     p_job.add_argument("--strict", action="store_true")
@@ -153,13 +169,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                 tbl = tbl_full.select(["conv_id"])
             else:
                 plan.write_parquet(args.out)
+                import pyarrow as pa
                 import pyarrow.dataset as pads
 
                 from pdfredact_ray.extend import write_plan_dir_meta
 
                 # plan self-binding (RedactionPlan.SourcePdfPath analog)
                 write_plan_dir_meta(args.out, args.input, ruleset_hash)
-                tbl = pads.dataset(args.out, format="parquet").to_table(columns=["conv_id"])
+                dset = pads.dataset(args.out, format="parquet")
+                # a zero-region plan dir holds only the meta sidecar
+                tbl = (
+                    dset.to_table(columns=["conv_id"])
+                    if "conv_id" in dset.schema.names
+                    else pa.table({"conv_id": pa.array([], pa.string())})
+                )
             n = tbl.num_rows
             print(f"Found {n} region(s) to redact")
             import pyarrow.compute as pc
@@ -195,7 +218,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
                 plan_ds = rd.from_arrow(read_plan(args.plan))
             else:
-                plan_ds = rd.read_parquet(args.plan)
+                import pyarrow as pa
+                import pyarrow.dataset as pads
+
+                from pdfredact_ray.schema import PLAN
+
+                if "conv_id" in pads.dataset(args.plan, format="parquet").schema.names:
+                    plan_ds = rd.read_parquet(args.plan)
+                else:
+                    # zero-region plan (meta sidecar only): full copy-through,
+                    # reference semantics (ApplyCommand.cs:65-69)
+                    plan_ds = rd.from_arrow(PLAN.empty_table())
             out = apply_pipeline(read_turns(input_path), plan_ds)
             order_restore(out.drop_columns(["spans"])).write_parquet(args.out)
             print(f"Applied plan -> {args.out}")

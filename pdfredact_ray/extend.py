@@ -166,7 +166,11 @@ def write_plan_dir_meta(
     out_dir: str, source_path: Optional[str], ruleset_hash: Optional[str]
 ) -> None:
     """Self-binding sidecar for DISTRIBUTED plan writes (a Ray
-    ``write_parquet`` directory has no single schema-metadata carrier)."""
+    ``write_parquet`` directory has no single schema-metadata carrier).
+    A zero-region plan writes no parquet files at all, so the directory may
+    not exist yet — a meta-only plan dir is valid (the reference's 0-region
+    plan still drives a full copy-through apply, ApplyCommand.cs:65-69)."""
+    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_plan_meta.json"), "w") as f:
         json.dump({"sourcePath": source_path, "rulesetHash": ruleset_hash}, f, indent=2)
 

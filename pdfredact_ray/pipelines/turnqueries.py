@@ -209,29 +209,74 @@ def job_turn_counts(sf_dir: str) -> rd.Dataset:
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+# Stage-1 group bound for conv_assemble: a group is (conv_id, turn_idx //
+# _CONV_BUCKET) so no map_groups call ever sees more than _CONV_BUCKET turn
+# rows, however long the conversation (the sessionize two-stage pattern).
+_CONV_BUCKET = 4096
+
+
 def conv_assemble(sf_dir: str) -> rd.Dataset:
     """Conversation reassembly (the context-assembly op every LLM data
-    pipeline needs): groupby(conv_id) + in-group turn_idx sort + 'role: text'
-    join. One group = one conversation — bounded by conversation length, with
-    the whale-conversation caveat documented at the sessionize op."""
+    pipeline needs), whale-proof: stage 1 assembles per-(conv, turn-range)
+    partial strings over groups bounded at ``_CONV_BUCKET`` rows; stage 2
+    stitches a conversation's few partials in bucket order. Bucket id is
+    monotone in turn_idx, so bucket-order stitch of turn_idx-sorted partials
+    equals the global turn_idx order. A 10^6-turn conversation is ~250
+    partial rows in stage 2, never one million-row group. (The final
+    conv_text cell still holds the whole conversation — inherent to the
+    output schema, not to the grouping.)"""
     ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "role", "text"])
+    return assemble_conversations(ds)
 
-    def assemble(group: pa.Table) -> pa.Table:
+
+def assemble_conversations(ds: rd.Dataset) -> rd.Dataset:
+    """Two-stage assembly over a (conv_id, turn_idx, role, text) Dataset —
+    see conv_assemble for the whale-conversation rationale."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "turn_bucket",
+            pc.cast(pc.divide(t.column("turn_idx"), _CONV_BUCKET), pa.int32()),
+        )
+
+    def partial(group: pa.Table) -> pa.Table:
         import numpy as np
 
-        order = np.argsort(group.column("turn_idx").to_numpy())
+        # stable: duplicate turn_idx must not flap the joined order run-to-run
+        order = np.argsort(group.column("turn_idx").to_numpy(), kind="stable")
         roles = group.column("role").to_pylist()
         texts = group.column("text").to_pylist()
         joined = "\n".join(f"{roles[i]}: {texts[i]}" for i in order)
         return pa.table(
             {
                 "conv_id": group.column("conv_id").slice(0, 1),
+                "turn_bucket": group.column("turn_bucket").slice(0, 1),
                 "n_turns": pa.array([group.num_rows], pa.int64()),
-                "conv_text": pa.array([joined], pa.string()),
+                "part": pa.array([joined], pa.string()),
             }
         )
 
-    return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
+    def stitch(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = np.argsort(group.column("turn_bucket").to_numpy(), kind="stable")
+        parts = group.column("part").to_pylist()
+        return pa.table(
+            {
+                "conv_id": group.column("conv_id").slice(0, 1),
+                "n_turns": pa.array(
+                    [int(pc.sum(group.column("n_turns")).as_py())], pa.int64()
+                ),
+                "conv_text": pa.array(["\n".join(parts[i] for i in order)], pa.string()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_bucket"])
+        .map_groups(partial, batch_format="pyarrow")
+    )
+    return partials.groupby("conv_id").map_groups(stitch, batch_format="pyarrow")
 
 
 def redact_fragment_digits(sf_dir: str) -> rd.Dataset:

@@ -80,6 +80,11 @@ class ImageDecoder:
     ``fake=True`` is the documented deterministic stand-in for formats whose
     codecs aren't in this container (JPEG etc.): pseudo-dims/features derived
     from raw bytes; plumbing-only, never oracle-checked.
+
+    BEHAVIOR CHANGE (round 2): the default flipped from ``fake=True`` to
+    ``fake=False`` when the real BMP codec landed. Callers feeding non-BMP
+    payloads that previously relied on the default's pseudo-dims now get
+    ``ValueError`` — pass ``fake=True`` explicitly for opaque formats.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 8):

@@ -30,6 +30,38 @@ def test_conflicting_fragment_flags_exit_1(turns_file, tmp_path):
     assert e.value.code == 1
 
 
+def test_reference_short_flags_and_case_sensitive(ray_session, turns_file, tmp_path):
+    """Reference CLI spellings (-i/-o/-r/-c, README.md:91-97) are accepted and
+    `-c false` means case-insensitive (same semantics as --ignore-case)."""
+    out_ci = str(tmp_path / "ci")
+    out_cs = str(tmp_path / "cs")
+    assert main(["plan", "-i", turns_file, "-p", "confidential", "-c", "false", "-o", out_ci]) == 0
+    assert main(["plan", "-i", turns_file, "-p", "confidential", "-c", "true", "-o", out_cs]) == 0
+    n_ci = pads.dataset(out_ci, format="parquet").count_rows()
+    n_cs = pads.dataset(out_cs, format="parquet").count_rows()
+    assert n_ci > n_cs  # the corpus literal is uppercase CONFIDENTIAL
+    # long-form equivalents produce identical counts
+    out_long = str(tmp_path / "long")
+    assert main(["plan", "--input", turns_file, "-p", "confidential", "--ignore-case", "--output", out_long]) == 0
+    assert pads.dataset(out_long, format="parquet").count_rows() == n_ci
+    # a zero-region plan still applies as a full copy-through (reference
+    # semantics, ApplyCommand.cs:65-69)
+    assert n_cs == 0
+    red = str(tmp_path / "red_empty")
+    assert main(["apply", "--plan", out_cs, "-o", red]) == 0
+    import pyarrow.compute as pc
+
+    t = pads.dataset(red, format="parquet").to_table()
+    assert t.num_rows == 800
+    assert pc.sum(t.column("n_redactions")).as_py() == 0
+
+
+def test_ignore_case_conflicts_with_case_sensitive_true(turns_file, tmp_path):
+    with pytest.raises(SystemExit) as e:
+        main(["plan", "-i", turns_file, "-p", "x", "--ignore-case", "-c", "true", "-o", str(tmp_path / "p")])
+    assert e.value.code == 1
+
+
 def test_plan_writes_self_binding_meta(ray_session, turns_file, tmp_path):
     out = str(tmp_path / "plan_pq")
     rc = main(["plan", "--input", turns_file, "-p", r"\d{3}-\d{2}-\d{4}", "--regex", "--out", out])

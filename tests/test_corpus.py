@@ -117,6 +117,33 @@ def test_conv_assemble_matches_pandas(ray_session):
     assert got.n_turns.to_dict() == src.groupby("conv_id").size().astype(int).to_dict()
 
 
+def test_conv_assemble_whale_conversation(ray_session, monkeypatch):
+    """A 10^5-turn conversation assembles correctly through the two-stage
+    path: with the stage-1 bound shrunk, no map_groups group ever holds the
+    whole conversation — correctness comes from bucket-ordered stitching."""
+    import ray.data as rd
+
+    import pdfredact_ray.pipelines.turnqueries as TQ
+
+    monkeypatch.setattr(TQ, "_CONV_BUCKET", 256)
+    n = 100_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["whale"] * n + ["c2", "c2"]),
+            "turn_idx": pa.array(list(range(n)) + [1, 0], pa.int32()),
+            "role": pa.array(["user" if i % 2 == 0 else "assistant" for i in range(n)] + ["user", "user"]),
+            "text": pa.array([f"t{i}" for i in range(n)] + ["b", "a"]),
+        }
+    )
+    out = _pdf(TQ.assemble_conversations(rd.from_arrow(tbl))).set_index("conv_id")
+    assert int(out.loc["whale", "n_turns"]) == n
+    want = "\n".join(
+        f"{'user' if i % 2 == 0 else 'assistant'}: t{i}" for i in range(n)
+    )
+    assert out.loc["whale", "conv_text"] == want
+    assert out.loc["c2", "conv_text"] == "user: a\nuser: b"
+
+
 def test_doc_split_deterministic_and_balanced(ray_session):
     from pdfredact_ray.pipelines.corpus import doc_split
 
