@@ -95,6 +95,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_bands_sidecar(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Independent (doc_id, band_id, band_hash) table for the MinHash oracle,
+    written once to /tmp and read by the SQL via read_parquet.
+
+    This is a scalar pure-Python REIMPLEMENTATION of the signature scheme —
+    per-shingle crc32, 64 universal hashes, per-band crc32 over the packed
+    chunk — not a call into the engine's vectorized numpy kernel (the same
+    separate-implementation pattern as the multimodal resize oracle). The
+    scheme itself (seed 1234 params from np.random.default_rng, and the
+    engine's uint64 WRAPAROUND in (a*s + b) before the Mersenne modulo,
+    reproduced here with an explicit 2^64 mask) is shared spec; what the
+    oracle then checks independently in SQL is the distributed part:
+    bucketing, the 64-member bucket cap, cross-band pair dedup, and the
+    exact shingle-Jaccard verification over shingle STRINGS."""
+    import os
+    import struct
+    import tempfile
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(
+        tempfile.gettempdir(), "pdfredact_oracle", "minhash_bands_sf001_v1.parquet"
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    M = (1 << 61) - 1
+    MASK64 = (1 << 64) - 1
+    rng = np.random.default_rng(1234)
+    a = [int(x) for x in rng.integers(1, M, size=64, dtype=np.uint64)]
+    b = [int(x) for x in rng.integers(0, M, size=64, dtype=np.uint64)]
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    doc_ids, band_ids, band_hashes = [], [], []
+    for doc_id, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = text.split()
+        if not toks:
+            sig = [0] * 64
+        else:
+            if len(toks) < 3:
+                sh = {zlib.crc32(" ".join(toks).encode())}
+            else:
+                sh = {
+                    zlib.crc32(" ".join(toks[i : i + 3]).encode())
+                    for i in range(len(toks) - 2)
+                }
+            sig = [min(((ai * s + bi) & MASK64) % M for s in sh) for ai, bi in zip(a, b)]
+        for band in range(16):
+            doc_ids.append(doc_id)
+            band_ids.append(band)
+            band_hashes.append(
+                zlib.crc32(struct.pack("<4Q", *sig[band * 4 : (band + 1) * 4]))
+            )
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def _ivf_centroid_values(sf_dir: str = "/root/testdata/sf0.01", n_cells: int = 16) -> str:
+    """Inline the IVF centroids as a SQL VALUES list. The seeded-sample
+    centroid init (np.random choice + one Lloyd step) is not SQL-expressible,
+    so centroids are the shared input — what the oracle checks INDEPENDENTLY
+    is everything distributed: cell assignment, nprobe cell selection,
+    in-cell scoring and the global top-k rank. Reads the same first-2048
+    sample (file order) the engine's driver-side init reads."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.stages.embed import build_ivf_centroids
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).slice(0, 2048)
+    sample = np.stack(
+        [np.asarray(v, np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    cents = build_ivf_centroids(sample, n_cells)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return rows
+
+
 def _count_expr(pattern: str, options: str = "") -> str:
     """Non-overlapping leftmost match count — DuckDB regexp_extract_all has
     exactly the engine's finditer semantics (SURVEY.md §2.1 #2)."""
@@ -450,10 +552,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN m USING (doc_id)
         """,
         # the HTML generator records the expected main text per page — the
-        # extraction leg's exact oracle (the composed extract->redact query
-        # stays rows-only: DOM+fragment redaction is not SQL-expressible)
+        # extraction leg's exact oracle
         "html_extract_text": f"""
             SELECT doc_id, expected_main AS main_text
+            FROM read_parquet('{htmldocs}')
+        """,
+        # ...and, since round 3, the expected REDACTED main text too
+        # (construction knowledge: the only sensitive material on a page is
+        # what the generator injected), closing the composed query's oracle
+        "html_extract_redact": f"""
+            SELECT doc_id, expected_redacted AS main_text_redacted,
+                   CAST(expected_n_redactions AS INTEGER) AS n_redactions
             FROM read_parquet('{htmldocs}')
         """,
         # the image generator stores the decode ground truth (dims + crc32
@@ -546,10 +655,58 @@ def oracle_sql() -> dict[str, str]:
                   ) >= 0.4
             ORDER BY id_a, id_b
         """,
-        # Remaining rows-only (3): minhash_near_dup_pairs + ann_topk_ivf
-        # (approximate by construction; pytest holds the brute-force /
-        # recall oracles) and html_extract_redact (DOM + fragment redaction
-        # composition; the extraction leg is hash-checked via
-        # html_extract_text). redact_full / redact_fragment_digits gained
-        # exact oracles in round 3 via the generator ground-truth sidecar.
+        # IVF ANN: centroids are the shared input (seeded init is not
+        # SQL-expressible — see _ivf_centroid_values); cell assignment,
+        # nprobe selection, scoring and rank are computed independently.
+        # Tie-breaks mirror the engine exactly: first-max cell (np.argmax),
+        # (sim DESC, cell ASC) probe order, (sim DESC, vec_id ASC) rank.
+        "ann_topk_ivf": f"""
+            WITH cents(cell, c) AS (VALUES {_ivf_centroid_values()}),
+            emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            assign AS (
+                SELECT vec_id, e, cell FROM (
+                    SELECT emb.vec_id, emb.e, cents.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY emb.vec_id
+                               ORDER BY list_cosine_similarity(emb.e, cents.c) DESC,
+                                        cents.cell ASC
+                           ) AS r
+                    FROM emb CROSS JOIN cents
+                ) WHERE r = 1
+            ),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 8),
+            probe AS (
+                SELECT query_id, cell FROM (
+                    SELECT q.query_id, cents.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qe, cents.c) DESC,
+                                        cents.cell ASC
+                           ) AS r
+                    FROM q CROSS JOIN cents
+                ) WHERE r <= 4
+            ),
+            s AS (
+                SELECT q.query_id, a.vec_id,
+                       list_cosine_similarity(q.qe, a.e) AS sim
+                FROM q JOIN probe p ON p.query_id = q.query_id
+                       JOIN assign a ON a.cell = p.cell
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        # Remaining rows-only (1): minhash_near_dup_pairs (approximate by
+        # construction; pytest holds the brute-force containment oracle).
+        # redact_full / redact_fragment_digits / html_extract_redact gained
+        # exact oracles in round 3 via the generator ground-truth sidecar
+        # pattern; ann_topk_ivf via shared-centroid SQL replication.
     }

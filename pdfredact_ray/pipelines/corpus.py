@@ -662,10 +662,11 @@ def html_extract_redact(sf_dir: str) -> rd.Dataset:
     """Main-content extraction pipeline (the north-star HTML leg): synthetic
     HTML pages → DOM-heuristic boilerplate strip (HtmlExtractor actor pool)
     → fused rule redaction over the EXTRACTED text. Extraction and redaction
-    compose as Dataset stages sharing the streaming executor. Rows-only for
-    the driver (DOM parsing is not SQL-expressible); the extraction leg's
-    exact check is ``html_extract_text``; per-page equality vs the
-    generator's expected main text is also pytest-covered."""
+    compose as Dataset stages sharing the streaming executor. Hash-checked
+    end to end: the generator stores construction-knowledge redaction ground
+    truth (``expected_redacted`` / ``expected_n_redactions`` — a page's only
+    sensitive material is what the generator injected) next to each page,
+    the same sidecar pattern as ``expected_main`` and the turns corpus."""
     from pdfredact_ray.functions.rules import default_rules
     from pdfredact_ray.stages.detect import RuleMatcher
 
@@ -686,13 +687,13 @@ def html_extract_redact(sf_dir: str) -> rd.Dataset:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             red, _, nred = self.rm.redact_texts(t.column("text").to_pylist())
+            # block-count diagnostics stay pytest territory (html_extract
+            # tests); the driver-checked surface is the redacted text itself
             return pa.table(
                 {
                     "doc_id": t.column("doc_id"),
                     "main_text_redacted": pa.array(red, type=pa.string()),
                     "n_redactions": pa.array(nred, type=pa.int32()),
-                    "n_blocks_kept": t.column("n_blocks_kept"),
-                    "n_blocks_dropped": t.column("n_blocks_dropped"),
                 }
             )
 

@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 from pdfredact_ray.sources.turns import _rng  # same deterministic rng recipe
 
-GENERATOR_VERSION = 1
+GENERATOR_VERSION = 2
 DEFAULT_BASE_DIR = os.path.join(tempfile.gettempdir(), "pdfredact_html")
 
 _WORDS = (
@@ -41,6 +41,34 @@ def _para(rng) -> str:
     elif r < 0.18:
         words.insert(int(rng.integers(0, len(words))), "this is CONFIDENTIAL material")
     return " ".join(words)
+
+
+def _mask_expected(s: str) -> Tuple[str, int]:
+    """Construction-knowledge redaction ground truth: the ONLY sensitive
+    material a page can carry is what ``_para`` injects (an SSN-shaped
+    number or the CONFIDENTIAL literal — the prose word list has no digits,
+    '@', or other rule-matching text), so a plain re.sub/replace over the
+    expected main text is an engine-independent oracle for the default
+    ruleset. Returns (redacted_text, n_redactions)."""
+    import re
+
+    spans = [
+        (m.start(), m.end())
+        for pat in (r"\d{3}-\d{2}-\d{4}", re.escape("CONFIDENTIAL"))
+        for m in re.finditer(pat, s)
+    ]
+    out = list(s)
+    for a, b in spans:
+        # reference word-claiming semantics: a match masks the WHOLE
+        # whitespace-delimited token it overlaps ("104-95-7715." masks the
+        # trailing period too — PdfPigTextLocator word claiming)
+        while a > 0 and not s[a - 1].isspace():
+            a -= 1
+        while b < len(s) and not s[b].isspace():
+            b += 1
+        for i in range(a, b):
+            out[i] = "█"
+    return "".join(out), len(spans)
 
 
 def _page(rng) -> Tuple[str, str]:
@@ -74,15 +102,22 @@ def generate_html_table(n_docs: int, label: str = "html", seed: int = 42) -> pa.
     rng = _rng(label, seed)
     htmls: List[str] = []
     mains: List[str] = []
+    reds: List[str] = []
+    nreds: List[int] = []
     for _ in range(n_docs):
         h, m = _page(rng)
         htmls.append(h)
         mains.append(m)
+        r, n = _mask_expected(m)
+        reds.append(r)
+        nreds.append(n)
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
             "html": pa.array(htmls, type=pa.string()),
             "expected_main": pa.array(mains, type=pa.string()),
+            "expected_redacted": pa.array(reds, type=pa.string()),
+            "expected_n_redactions": pa.array(np.array(nreds, dtype=np.int32)),
         }
     )
 
