@@ -704,9 +704,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
         """,
-        # Remaining rows-only (1): minhash_near_dup_pairs (approximate by
-        # construction; pytest holds the brute-force containment oracle).
-        # redact_full / redact_fragment_digits / html_extract_redact gained
-        # exact oracles in round 3 via the generator ground-truth sidecar
-        # pattern; ann_topk_ivf via shared-centroid SQL replication.
+        # MinHash+LSH: the band table is the shared spec (independent
+        # pure-Python scalar recomputation — _minhash_bands_sidecar); the
+        # DISTRIBUTED parts are recomputed in SQL: bucketing on
+        # (band_id, band_hash), the 64-member sorted-doc_id bucket cap,
+        # cross-band pair dedup, and exact 3-shingle Jaccard verification
+        # over shingle STRINGS (vs the engine's crc32 shingle sets — equal
+        # absent crc collisions, the same equivalence ngram_jaccard_pairs
+        # already pins green on this corpus).
+        "minhash_near_dup_pairs": f"""
+            WITH bands AS (
+                SELECT * FROM read_parquet('{_minhash_bands_sidecar()}')
+            ),
+            buckets AS (
+                SELECT band_id, band_hash FROM bands
+                GROUP BY band_id, band_hash HAVING count(*) > 1
+            ),
+            ranked AS (
+                SELECT b.band_id, b.band_hash, b.doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.band_id, b.band_hash
+                           ORDER BY b.doc_id
+                       ) AS r
+                FROM bands b JOIN buckets USING (band_id, band_hash)
+            ),
+            capped AS (SELECT * FROM ranked WHERE r <= 64),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM capped a
+                JOIN capped b ON a.band_id = b.band_id
+                             AND a.band_hash = b.band_hash
+                             AND a.doc_id < b.doc_id
+            ),
+            base AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i
+                FROM base
+            ),
+            tri AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' ||
+                       lead(w, 2) OVER win AS shingle
+                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            big AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM tri WHERE shingle IS NOT NULL GROUP BY doc_id
+            ),
+            small AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN []
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM base WHERE len(toks) < 3
+            ),
+            shs AS (SELECT * FROM big UNION ALL SELECT * FROM small),
+            verified AS (
+                SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(sa.sh, sb.sh)) AS inter,
+                       len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)) AS uni
+                FROM cand c
+                JOIN shs sa ON sa.doc_id = c.doc_a
+                JOIN shs sb ON sb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b,
+                   CASE WHEN uni = 0 THEN 1.0
+                        ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
+            FROM verified
+            WHERE (CASE WHEN uni = 0 THEN 1.0
+                        ELSE CAST(inter AS DOUBLE) / uni END) >= 0.5
+        """,
+        # All 37 queries now have oracles: redact_full /
+        # redact_fragment_digits / html_extract_redact via the generator
+        # ground-truth sidecar pattern; ann_topk_ivf via shared-centroid SQL
+        # replication; minhash_near_dup_pairs via the band-table sidecar.
     }
