@@ -666,6 +666,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
             ),
             assign AS (
+                -- n_assign=2 multi-assignment (IVF spill): each vector
+                -- belongs to its 2 nearest cells, engine tie-break order
                 SELECT vec_id, e, cell FROM (
                     SELECT emb.vec_id, emb.e, cents.cell,
                            ROW_NUMBER() OVER (
@@ -674,7 +676,7 @@ def oracle_sql() -> dict[str, str]:
                                         cents.cell ASC
                            ) AS r
                     FROM emb CROSS JOIN cents
-                ) WHERE r = 1
+                ) WHERE r <= 2
             ),
             q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 8),
             probe AS (
@@ -686,10 +688,12 @@ def oracle_sql() -> dict[str, str]:
                                         cents.cell ASC
                            ) AS r
                     FROM q CROSS JOIN cents
-                ) WHERE r <= 4
+                ) WHERE r <= 6
             ),
             s AS (
-                SELECT q.query_id, a.vec_id,
+                -- DISTINCT: a vector reachable through both its assigned
+                -- cells must score once, as in the engine's any-cell mask
+                SELECT DISTINCT q.query_id, a.vec_id,
                        list_cosine_similarity(q.qe, a.e) AS sim
                 FROM q JOIN probe p ON p.query_id = q.query_id
                        JOIN assign a ON a.cell = p.cell

@@ -81,6 +81,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
     timings: dict[str, float] = {}
     n_turns = 0
+    recall = None  # IVF recall@k vs brute force; set on the full suite
 
     def _drain(max_wait: float = 15.0) -> None:
         """Wait for the previous query's actor pool to release its CPUs.
@@ -184,7 +185,26 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("dedup_filter", lambda: _consume(C.dedup_filter(sf_dir)))
         timed("minhash_pairs", lambda: C.minhash_near_dup_pairs(sf_dir).num_rows)
         timed("decontaminate", lambda: _consume(C.decontaminate(sf_dir)))
-        timed("ann_bruteforce", lambda: _consume(C.ann_topk_bruteforce(sf_dir)))
+        # ANN: time both paths and track the IVF path's quality as a number
+        # (recall@k vs the exact brute-force table), not just a pytest
+        # threshold — the approximate path's accuracy is a first-class
+        # bench output alongside its speed.
+        ann_tables: dict = {}
+
+        def _ann(name, fn):
+            t = fn(sf_dir).materialize()
+            ann_tables[name] = t
+            return t.count()
+
+        timed("ann_bruteforce", lambda: _ann("bf", C.ann_topk_bruteforce))
+        timed("ann_ivf", lambda: _ann("ivf", C.ann_topk_ivf))
+
+        def _pairs(t):
+            df = t.to_pandas()
+            return set(zip(df["query_id"], df["vec_id"]))
+
+        bf, ivf = _pairs(ann_tables["bf"]), _pairs(ann_tables["ivf"])
+        recall = round(len(bf & ivf) / len(bf), 4) if bf else None
         timed("doc_quality", lambda: _consume(C.doc_quality(sf_dir)))
         timed("events_window", lambda: _consume(C.events_tumbling_window(sf_dir)))
         timed("events_hopping", lambda: _consume(C.events_hopping_window(sf_dir)))
@@ -204,6 +224,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline_sec, 1) if headline_sec else None,
+        "recall": recall,
     }
 
 

@@ -541,10 +541,20 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> rd.Data
     )
 
 
-def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16, nprobe: int = 4) -> rd.Dataset:
+def ann_topk_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    n_cells: int = 16,
+    nprobe: int = 6,
+    n_assign: int = 2,
+) -> rd.Dataset:
     """IVF-bucketed ANN: seeded centroids from a driver sample, batches score
-    only rows in each query's nprobe nearest cells. Approximate by
-    construction (rows-only check)."""
+    only rows with a cell among each query's nprobe nearest. ``n_assign=2``
+    multi-assignment (IVF spill) holds recall@10 ≥ 0.9 on the
+    weakly-clustered test embeddings (see IVFTopK); bench tracks the number.
+    Approximate by construction — the oracle SQL replicates this exact
+    parameterization from the shared centroids."""
     emb, q = _query_set(sf_dir, n_queries)
     sample_tbl = pa.concat_tables(ray.get(emb.limit(2048).to_arrow_refs()))
     sample = np.stack([np.asarray(v, np.float64) for v in sample_tbl.column("embedding").to_pylist()])
@@ -556,6 +566,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_cells: int = 16
             "centroids_ref": ray.put(cents),
             "k": k,
             "nprobe": nprobe,
+            "n_assign": n_assign,
         },
         batch_format="pyarrow",
         batch_size=4096,

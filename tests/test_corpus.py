@@ -252,6 +252,31 @@ def test_ann_ivf_recall_against_bruteforce(ray_session, embs):
     assert hits / total >= 0.5  # nprobe=4 of 8 cells: recall well above chance
 
 
+def test_ann_ivf_multi_assign_recall_and_exhaustive_equality(ray_session, embs):
+    """n_assign=2 (IVF spill): default params hold recall >= 0.8 on the
+    weakly-clustered corpus, and probing EVERY cell must reproduce brute
+    force exactly whatever the assignment multiplicity."""
+    from pdfredact_ray.pipelines.corpus import ann_topk_ivf
+
+    ids, M = embs
+    got = _pdf(ann_topk_ivf(SF, k=10, n_queries=4))  # defaults: nprobe=6, n_assign=2
+    hits = total = 0
+    for qid in range(4):
+        q = M[ids == qid][0]
+        true = set(ids[np.argsort(-(M @ q))[:10]].tolist())
+        hits += len(true & set(got[got.query_id == qid].vec_id.tolist()))
+        total += 10
+    assert hits / total >= 0.8
+
+    full = _pdf(ann_topk_ivf(SF, k=10, n_queries=4, n_cells=8, nprobe=8, n_assign=2))
+    for qid in range(4):
+        q = M[ids == qid][0]
+        order = sorted(zip(-(M @ q), ids))[:10]
+        want = [int(v) for _, v in order]
+        g = full[full.query_id == qid].sort_values("rank")
+        assert g.vec_id.tolist() == want
+
+
 def test_doc_langid_matches_reference_heuristic(ray_session, docs):
     from pdfredact_ray.pipelines.corpus import doc_langid
     from pdfredact_ray.stages.textops import LangId
