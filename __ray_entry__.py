@@ -21,6 +21,7 @@ from collections.abc import Callable
 from typing import Any
 
 from pdfredact_ray.pipelines import corpus as C
+from pdfredact_ray.pipelines import relational as R
 from pdfredact_ray.pipelines import turnqueries as T
 from pdfredact_ray.sources.turns import ensure_turns
 
@@ -92,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": C.events_hopping_window,
         "events_sessionize": C.events_sessionize,
         "lineitem_agg": C.lineitem_agg,
+        # --- relational joins (broadcast dim / big-big shuffle / as-of)
+        "orders_by_segment": R.orders_by_segment,
+        "revenue_by_priority": R.revenue_by_priority,
+        "events_asof_view": R.events_asof_view,
     }
 
 
@@ -782,7 +787,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CASE WHEN uni = 0 THEN 1.0
                         ELSE CAST(inter AS DOUBLE) / uni END) >= 0.5
         """,
-        # All 37 queries now have oracles: redact_full /
+        # Relational joins: floor-cents int sums (lineitem_agg convention);
+        # the as-of oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+        # independent implementation of the same semantics.
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "revenue_by_priority": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM rev JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "events_asof_view": """
+            SELECT p.event_id, p.user_id, v.ts AS last_view_ts,
+                   CASE WHEN v.ts IS NULL THEN NULL
+                        ELSE date_diff('microsecond', v.ts, p.ts) END AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # All 40 queries have oracles: redact_full /
         # redact_fragment_digits / html_extract_redact via the generator
         # ground-truth sidecar pattern; ann_topk_ivf via shared-centroid SQL
         # replication; minhash_near_dup_pairs via the band-table sidecar.

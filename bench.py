@@ -210,6 +210,12 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("events_hopping", lambda: _consume(C.events_hopping_window(sf_dir)))
         timed("lineitem_agg", lambda: _consume(C.lineitem_agg(sf_dir)))
 
+        from pdfredact_ray.pipelines import relational as RJ
+
+        timed("orders_segment_join", lambda: _consume(RJ.orders_by_segment(sf_dir)))
+        timed("revenue_priority_join", lambda: _consume(RJ.revenue_by_priority(sf_dir)))
+        timed("events_asof", lambda: _consume(RJ.events_asof_view(sf_dir)))
+
         from pdfredact_ray.pipelines import turnqueries as TQ
 
         timed("conv_assemble", lambda: _consume(TQ.conv_assemble(sf_dir)))

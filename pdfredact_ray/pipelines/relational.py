@@ -1,0 +1,222 @@
+"""Relational operators over the TPC-H-ish tables: the three join shapes a
+100 TB pipeline actually uses, each in its scale-correct Ray Data form.
+
+- ``orders_by_segment`` — BROADCAST dim join: the small side (customer) is
+  ``ray.put`` once and read from the local object store per task; the fact
+  side streams through ``map_batches`` with a map-side partial aggregate, so
+  the only shuffle is the tiny (segment, partials) groupby. This is the
+  shape for any fact ⋈ dim at scale — never a shuffle join against a
+  broadcastable side.
+- ``revenue_by_priority`` — BIG-BIG shuffle join: lineitem is pre-aggregated
+  per orderkey inside ``map_batches`` + a skinny ``groupby().aggregate``
+  (combiner BEFORE the join, so only (orderkey, revenue_cents) int rows move
+  in the all-to-all), then a hash-partitioned ``Dataset.join`` with orders,
+  then a second map-side partial + tiny groupby by priority. At 100 TB both
+  exchanges move two-int-column blocks, not lineitem rows.
+- ``events_asof_view`` — AS-OF join (an operator Ray Data lacks natively):
+  for each purchase event, the latest view event by the same user at
+  ``view.ts <= purchase.ts``. Expressed as ``groupby(user_id).map_groups``
+  with an in-group sort + vectorized ``np.searchsorted`` — the partitioning
+  assumption is per-user locality (same as sessionize); a whale user is one
+  group, acceptable because per-user event counts are bounded in this corpus
+  (documented, and the sessionize two-stage split applies if that breaks).
+
+Money is aggregated as floor-cents int64 (the ``lineitem_agg`` convention):
+order-independent integer sums that the DuckDB oracles reproduce bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from pdfredact_ray.pipelines.redact import default_concurrency
+
+
+def _floor_cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.floor(pc.multiply(col, 100.0)), pa.int64())
+
+
+def orders_by_segment(sf_dir: str) -> rd.Dataset:
+    """Fact ⋈ broadcast dim + aggregate: orders joined to customer market
+    segment, total floor-cents and count per segment.
+
+    customer is the broadcast side: collected once driver-side (a dim table
+    is small BY DEFINITION — that is what makes it the broadcast side),
+    shipped to the object store once with ``ray.put``, and looked up per
+    batch via sorted-key ``np.searchsorted`` — no shuffle touches orders."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).sort_by("c_custkey")
+    dim = {
+        "keys": cust.column("c_custkey").to_numpy(),
+        "segments": np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object),
+    }
+    dim_ref = ray.put(dim)
+
+    def partial(t: pa.Table, ref) -> pa.Table:
+        d = ref if isinstance(ref, dict) else ray.get(ref)
+        keys = t.column("o_custkey").to_numpy()
+        pos = np.searchsorted(d["keys"], keys)
+        # every order's custkey exists in customer (FK integrity); still
+        # guard the lookup so a dangling key fails loudly, not silently
+        if not np.array_equal(d["keys"][pos], keys):
+            raise ValueError("o_custkey missing from customer dim")
+        segs = d["segments"][pos]
+        cents = _floor_cents(t.column("o_totalprice")).to_numpy()
+        uniq, inv = np.unique(segs, return_inverse=True)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uniq, type=pa.string()),
+                "total_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                ),
+                "order_count": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(partial, fn_args=(dim_ref,), batch_format="pyarrow")
+    agg = partials.groupby("c_mktsegment").aggregate(Sum("total_cents"), Sum("order_count"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["c_mktsegment", "total_cents", "order_count"]),
+        batch_format="pyarrow",
+    )
+
+
+def revenue_by_priority(sf_dir: str) -> rd.Dataset:
+    """Big-big join with a combiner on the heavy side: per-orderkey revenue
+    floor-cents (map-side partial + skinny groupby) ⋈ orders on orderkey
+    (hash-partitioned ``Dataset.join``), then revenue + order count per
+    o_orderpriority. Revenue = extendedprice × (1 − discount), floored to
+    cents per row BEFORE summing — order-independent and oracle-exact."""
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+            100.0,
+        )
+        cents = pc.cast(pc.floor(rev), pa.int64()).to_numpy()
+        keys = t.column("l_orderkey").to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, type=pa.int64()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    li = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents"))
+        .map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    num_partitions = max(default_concurrency(), 8)
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def pri_partial(t: pa.Table) -> pa.Table:
+        pri = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        cents = t.column("revenue_cents").to_numpy()
+        uniq, inv = np.unique(pri, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq, type=pa.string()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                ),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(pri_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents"), Sum("n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "revenue_cents", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+def events_asof_view(sf_dir: str) -> rd.Dataset:
+    """AS-OF join: each purchase event matched to the same user's latest
+    view event with ``view.ts <= purchase.ts`` (DuckDB ``ASOF LEFT JOIN``
+    semantics); emits the matched view ts and the exact gap in microseconds
+    (NULL when the user has no prior view).
+
+    One ``groupby(user_id).map_groups`` supplies per-user locality; inside a
+    group both sides sort by ts once and every purchase resolves through a
+    single vectorized ``np.searchsorted`` — no per-row Python scanning."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).filter(
+        expr="event_type == 'purchase' or event_type == 'view'"
+    )
+
+    def asof(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        etype = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        eid = g.column("event_id").to_numpy()
+        uid = g.column("user_id").to_numpy()
+        p_mask = etype == "purchase"
+        v_mask = etype == "view"
+        p_ts, p_id = ts[p_mask], eid[p_mask]
+        v_ts = np.sort(ts[v_mask])
+        if len(v_ts):
+            pos = np.searchsorted(v_ts, p_ts, side="right") - 1
+            matched = np.where(pos >= 0, v_ts[np.maximum(pos, 0)], 0)
+            valid = pos >= 0
+        else:
+            matched = np.zeros(len(p_ts), dtype=np.int64)
+            valid = np.zeros(len(p_ts), dtype=bool)
+        gap = p_ts - matched
+        return pa.table(
+            {
+                "event_id": pa.array(p_id, type=pa.int64()),
+                "user_id": pa.array(uid[p_mask], type=pa.int64()),
+                "last_view_ts": pa.array(
+                    [int(m) if ok else None for m, ok in zip(matched, valid)],
+                    type=pa.timestamp("us"),
+                ),
+                "gap_us": pa.array(
+                    [int(x) if ok else None for x, ok in zip(gap, valid)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pyarrow")

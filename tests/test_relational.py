@@ -1,0 +1,177 @@
+"""Relational-join operators vs independent DuckDB recomputes at sf0.001,
+plus synthetic edge/skew cases the test tables don't exercise: a user with
+purchases but no views (NULL as-of match), equal timestamps (ts >= ties),
+and a whale user holding most of the events."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t + '.parquet')}')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_orders_by_segment_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.relational import orders_by_segment
+
+    got = _norm(orders_by_segment(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_revenue_by_priority_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.relational import revenue_by_priority
+
+    got = _norm(revenue_by_priority(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH rev AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderpriority, CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM rev JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_asof_view_matches_duckdb_native_asof(ray_session):
+    from pdfredact_ray.pipelines.relational import events_asof_view
+
+    got = _norm(events_asof_view(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        SELECT p.event_id, p.user_id, v.ts AS last_view_ts,
+               CASE WHEN v.ts IS NULL THEN NULL
+                    ELSE date_diff('microsecond', v.ts, p.ts) END AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts"""
+        )
+        .df()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got.astype(str), want.astype(str))
+    # LEFT semantics hold: purchases survive even when a user has no views
+    assert (got["last_view_ts"].isna() == got["gap_us"].isna()).all()
+
+
+def _synthetic_events(tmp_path, rows):
+    d = tmp_path / "sfx"
+    d.mkdir()
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_asof_edges_no_view_equal_ts_whale(ray_session, tmp_path):
+    """user 1: purchase before any view (NULL) + equal-ts view (>= tie
+    matches); user 2: purchases only; user 3: a whale with 10k views."""
+    from pdfredact_ray.pipelines.relational import events_asof_view
+
+    us = 1_000_000  # 1s in microseconds
+    rows = [
+        (0, 5 * us, 1, "purchase"),   # before user 1's first view -> NULL
+        (1, 10 * us, 1, "view"),
+        (2, 10 * us, 1, "purchase"),  # ts == view ts -> matches (>=)
+        (3, 20 * us, 1, "purchase"),  # latest view at 10s
+        (4, 7 * us, 2, "purchase"),   # user 2 has no views at all
+    ]
+    rows += [(100 + i, i * us, 3, "view") for i in range(10_000)]
+    rows.append((99_999, 10_000 * us, 3, "purchase"))
+    sfx = _synthetic_events(tmp_path, rows)
+
+    got = (
+        events_asof_view(sfx)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert pd.isna(got.loc[0, "gap_us"])
+    assert got.loc[2, "gap_us"] == 0  # equal ts counts as <=
+    assert got.loc[3, "gap_us"] == 10 * us
+    assert pd.isna(got.loc[4, "gap_us"])
+    # whale: latest of 10k views (ts = 9999s) against the 10000s purchase
+    assert got.loc[99_999, "gap_us"] == 1 * us
+    assert len(got) == 5  # one output row per purchase, nothing dropped
+
+
+def test_orders_by_segment_dangling_fk_fails_loudly(ray_session, tmp_path):
+    """A fact key missing from the broadcast dim must raise, not silently
+    mis-aggregate (searchsorted would otherwise alias a neighbor key)."""
+    import ray
+    from pdfredact_ray.pipelines.relational import orders_by_segment
+
+    d = tmp_path / "sfy"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["a", "b"]),
+                "c_nationkey": pa.array([0, 0], pa.int64()),
+                "c_acctbal": pa.array([0.0, 0.0]),
+                "c_mktsegment": pa.array(["X", "Y"]),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10], pa.int64()),
+                "o_custkey": pa.array([99], pa.int64()),  # dangling
+                "o_orderstatus": pa.array(["O"]),
+                "o_totalprice": pa.array([5.0]),
+                "o_orderdate": pa.array(["2024-01-01"]),
+                "o_orderpriority": pa.array(["1-URGENT"]),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    with pytest.raises(ray.exceptions.RayTaskError):
+        orders_by_segment(str(d)).materialize()
