@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": R.orders_by_segment,
         "revenue_by_priority": R.revenue_by_priority,
         "events_asof_view": R.events_asof_view,
+        # flagship multi-join (TPC-H Q5 shape: 2 big-big + 3 broadcast)
+        "local_supplier_volume": R.local_supplier_volume,
+        "events_props_extract": R.events_props_extract,
+        "top_orders_per_priority": R.top_orders_per_priority,
     }
 
 
@@ -817,7 +821,34 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
-        # All 40 queries have oracles: redact_full /
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "events_props_extract": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, total_cents, rank FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC,
+                                    o_orderkey ASC) AS BIGINT) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        # All 43 queries have oracles: redact_full /
         # redact_fragment_digits / html_extract_redact via the generator
         # ground-truth sidecar pattern; ann_topk_ivf via shared-centroid SQL
         # replication; minhash_near_dup_pairs via the band-table sidecar.

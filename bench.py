@@ -215,6 +215,8 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("orders_segment_join", lambda: _consume(RJ.orders_by_segment(sf_dir)))
         timed("revenue_priority_join", lambda: _consume(RJ.revenue_by_priority(sf_dir)))
         timed("events_asof", lambda: _consume(RJ.events_asof_view(sf_dir)))
+        timed("q5_supplier_volume", lambda: _consume(RJ.local_supplier_volume(sf_dir)))
+        timed("grouped_topk", lambda: _consume(RJ.top_orders_per_priority(sf_dir)))
 
         from pdfredact_ray.pipelines import turnqueries as TQ
 

@@ -171,6 +171,215 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
     )
 
 
+def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
+    """TPC-H Q5 shape — the flagship multi-join: revenue per nation from
+    lineitems whose supplier AND customer sit in the same nation of one
+    region. Composes every join strategy in this module:
+
+    - region → nation → supplier are BROADCAST: collapsed driver-side into
+      one s_suppkey → nationkey array pair (tiny by TPC-H construction),
+      ``ray.put`` once; lineitem probes it per batch and rows from
+      out-of-region suppliers are dropped at the SOURCE, before any shuffle.
+    - lineitem ⋈ orders and ⋈ customer are BIG-BIG hash-partitioned
+      ``Dataset.join``s — at 100 TB neither side broadcasts. The lineitem
+      side enters the first join pre-reduced to (l_orderkey, nationkey,
+      cents) partials, so the heavy exchange moves three int columns.
+    - the same-nation filter (c_nationkey == supplier nationkey) runs
+      vectorized right after the customer join, then a map-side partial +
+      tiny groupby(n_name) finishes.
+    """
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkeys = [
+        k
+        for k, name in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        )
+        if name == region
+    ]
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nation_name = {
+        int(k): n
+        for k, n, r in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+            nat.column("n_regionkey").to_pylist(),
+        )
+        if r in rkeys
+    }
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).sort_by("s_suppkey")
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = sup.column("s_nationkey").to_numpy()
+    in_region = np.isin(s_nat, np.asarray(sorted(nation_name), dtype=np.int64))
+    dim_ref = ray.put(
+        {"keys": s_keys[in_region], "nats": s_nat[in_region], "names": nation_name}
+    )
+
+    def li_partial(t: pa.Table, ref) -> pa.Table:
+        d = ref if isinstance(ref, dict) else ray.get(ref)
+        keys = t.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(d["keys"], keys)
+        pos_c = np.minimum(pos, len(d["keys"]) - 1)
+        hit = (len(d["keys"]) > 0) & (d["keys"][pos_c] == keys)
+        if not hit.any():
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "nationkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        rev = pc.multiply(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+            100.0,
+        )
+        cents = pc.cast(pc.floor(rev), pa.int64()).to_numpy()[hit]
+        okey = t.column("l_orderkey").to_numpy()[hit]
+        nkey = d["nats"][pos_c[hit]]
+        # partial-combine on the compound key before the shuffle
+        comp = okey * 64 + nkey  # nationkey < 25 << 64
+        uniq, inv = np.unique(comp, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq // 64, type=pa.int64()),
+                "nationkey": pa.array(uniq % 64, type=pa.int64()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, fn_args=(dim_ref,), batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    num_partitions = max(default_concurrency(), 8)
+    j1 = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = j1.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def nat_partial(t: pa.Table, ref) -> pa.Table:
+        d = ref if isinstance(ref, dict) else ray.get(ref)
+        same = pc.equal(t.column("nationkey"), t.column("c_nationkey"))
+        t = t.filter(same)
+        nkey = t.column("nationkey").to_numpy()
+        cents = t.column("revenue_cents").to_numpy()
+        uniq, inv = np.unique(nkey, return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array([d["names"][int(k)] for k in uniq], type=pa.string()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        j2.map_batches(nat_partial, fn_args=(dim_ref,), batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["n_name", "revenue_cents"]), batch_format="pyarrow"
+    )
+
+
+def events_props_extract(sf_dir: str) -> rd.Dataset:
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    ``props`` JSON column for every event, typed BIGINT with NULL for rows
+    where the key is absent/malformed. The hot path is one vectorized
+    ``pc.extract_regex`` kernel over the Arrow string column — zero
+    per-row Python, the scale shape for flat-schema JSON columns (a full
+    parser actor-pool stage is only warranted for nested payloads)."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), pattern=r'"k"\s*:\s*(?P<v>-?\d+)')
+        v = pc.if_else(
+            pc.is_valid(m),
+            pc.cast(pc.struct_field(m, "v"), pa.int64()),
+            pa.scalar(None, pa.int64()),
+        )
+        return pa.table({"event_id": t.column("event_id"), "k": v})
+
+    return ev.map_batches(extract, batch_format="pyarrow")
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Grouped top-k without a global sort: per-batch partial top-k per
+    priority (each batch forwards at most ``k × n_priorities`` rows), then a
+    tiny ``groupby(priority).map_groups`` final top-k. The all-to-all moves
+    O(k × groups × batches) rows — independent of table size — instead of
+    the full orders table a naive sort-then-head would shuffle. Ties break
+    (cents DESC, orderkey ASC), mirrored exactly in the SQL oracle."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _floor_cents(t.column("o_totalprice")).to_numpy()
+        okey = t.column("o_orderkey").to_numpy()
+        pri = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        keep = np.zeros(len(okey), dtype=bool)
+        for p in np.unique(pri):
+            idx = np.flatnonzero(pri == p)
+            order = np.lexsort((okey[idx], -cents[idx]))[:k]
+            keep[idx[order]] = True
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(pri[keep], type=pa.string()),
+                "o_orderkey": pa.array(okey[keep], type=pa.int64()),
+                "total_cents": pa.array(cents[keep], type=pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        cents = g.column("total_cents").to_numpy()
+        okey = g.column("o_orderkey").to_numpy()
+        order = np.lexsort((okey, -cents))[:k]
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority").take(pa.array(order)),
+                "o_orderkey": pa.array(okey[order], type=pa.int64()),
+                "total_cents": pa.array(cents[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def events_asof_view(sf_dir: str) -> rd.Dataset:
     """AS-OF join: each purchase event matched to the same user's latest
     view event with ``view.ts <= purchase.ts`` (DuckDB ``ASOF LEFT JOIN``

@@ -140,6 +140,82 @@ def test_asof_edges_no_view_equal_ts_whale(ray_session, tmp_path):
     assert len(got) == 5  # one output row per purchase, nothing dropped
 
 
+def test_local_supplier_volume_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.relational import local_supplier_volume
+
+    con = _con()
+    for t in ("supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t + '.parquet')}')"
+        )
+    got = _norm(local_supplier_volume(SF).to_pandas())
+    want = _norm(
+        con.execute(
+            """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        GROUP BY n_name"""
+        ).df()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_props_extract_matches_and_nulls_malformed(ray_session, tmp_path):
+    from pdfredact_ray.pipelines.relational import events_props_extract
+
+    got = _norm(events_props_extract(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got.astype(str), want.astype(str))
+
+    # rows without the key (or with junk) yield NULL, never an error
+    sfx = _synthetic_events(tmp_path, [(0, 0, 1, "view"), (1, 1, 1, "view")])
+    t = pq.read_table(os.path.join(sfx, "events.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("props"),
+        "props",
+        pa.array(['{"other": 1}', "not json"], pa.string()),
+    )
+    pq.write_table(t, os.path.join(sfx, "events.parquet"))
+    out = events_props_extract(sfx).to_pandas()
+    assert out["k"].isna().all()
+
+
+def test_top_orders_per_priority_matches_window_oracle(ray_session):
+    from pdfredact_ray.pipelines.relational import top_orders_per_priority
+
+    got = _norm(top_orders_per_priority(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        SELECT o_orderpriority, o_orderkey, total_cents, rank FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey ASC) AS BIGINT) AS rank
+            FROM orders) WHERE rank <= 3"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_orders_by_segment_dangling_fk_fails_loudly(ray_session, tmp_path):
     """A fact key missing from the broadcast dim must raise, not silently
     mis-aggregate (searchsorted would otherwise alias a neighbor key)."""
