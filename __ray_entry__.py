@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pdfredact_ray.pipelines import analytics as A
 from pdfredact_ray.pipelines import corpus as C
 from pdfredact_ray.pipelines import relational as R
 from pdfredact_ray.pipelines import turnqueries as T
@@ -66,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_filter": C.dedup_filter,
         "decontaminate": C.decontaminate,
         "minhash_near_dup_pairs": C.minhash_near_dup_pairs,
+        # near-dup pairs -> dedup GROUPS (connected components) -> filter
+        "near_dup_components": C.near_dup_components,
+        "near_dup_dedup_filter": C.near_dup_dedup_filter,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "simhash_signatures": C.simhash_signatures,
         # --- text analysis
@@ -101,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": R.local_supplier_volume,
         "events_props_extract": R.events_props_extract,
         "top_orders_per_priority": R.top_orders_per_priority,
+        # --- analytics (exact histogram quantiles / range join /
+        #     deterministic grouped sampling / TF-IDF)
+        "events_value_quantiles": A.events_value_quantiles,
+        "events_band_join": A.events_band_join,
+        "doc_group_sample": A.doc_group_sample,
+        "doc_tfidf_top_terms": A.doc_tfidf_top_terms,
     }
 
 
@@ -294,6 +304,106 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS UBIGINT) << {b}) ELSE CAST(0 AS UBIGINT) END)"
         for b in range(63)
     )
+
+    # MinHash+LSH pairs SQL — shared by THREE oracles: the pair query
+    # itself, near-dup connected components (recursive reachability over
+    # the verified pairs), and the near-dup dedup filter. The band table is
+    # the shared spec (independent pure-Python scalar recomputation —
+    # _minhash_bands_sidecar); the DISTRIBUTED parts are recomputed in SQL:
+    # bucketing on (band_id, band_hash), the 64-member sorted-doc_id bucket
+    # cap, cross-band pair dedup, and exact 3-shingle Jaccard verification
+    # over shingle STRINGS (vs the engine's crc32 shingle sets — equal
+    # absent crc collisions, the same equivalence ngram_jaccard_pairs
+    # already pins green on this corpus).
+    minhash_pairs_sql = f"""
+            WITH bands AS (
+                SELECT * FROM read_parquet('{_minhash_bands_sidecar()}')
+            ),
+            buckets AS (
+                SELECT band_id, band_hash FROM bands
+                GROUP BY band_id, band_hash HAVING count(*) > 1
+            ),
+            ranked AS (
+                SELECT b.band_id, b.band_hash, b.doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY b.band_id, b.band_hash
+                           ORDER BY b.doc_id
+                       ) AS r
+                FROM bands b JOIN buckets USING (band_id, band_hash)
+            ),
+            capped AS (SELECT * FROM ranked WHERE r <= 64),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM capped a
+                JOIN capped b ON a.band_id = b.band_id
+                             AND a.band_hash = b.band_hash
+                             AND a.doc_id < b.doc_id
+            ),
+            base AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i
+                FROM base
+            ),
+            tri AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' ||
+                       lead(w, 2) OVER win AS shingle
+                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            big AS (
+                SELECT doc_id, list_distinct(list(shingle)) AS sh
+                FROM tri WHERE shingle IS NOT NULL GROUP BY doc_id
+            ),
+            small AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN []
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM base WHERE len(toks) < 3
+            ),
+            shs AS (SELECT * FROM big UNION ALL SELECT * FROM small),
+            verified AS (
+                SELECT c.doc_a, c.doc_b,
+                       len(list_intersect(sa.sh, sb.sh)) AS inter,
+                       len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)) AS uni
+                FROM cand c
+                JOIN shs sa ON sa.doc_id = c.doc_a
+                JOIN shs sb ON sb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b,
+                   CASE WHEN uni = 0 THEN 1.0
+                        ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
+            FROM verified
+            WHERE (CASE WHEN uni = 0 THEN 1.0
+                        ELSE CAST(inter AS DOUBLE) / uni END) >= 0.5
+    """
+
+    # Connected components over the verified pairs via recursive
+    # reachability (transitive closure, then min reachable id per node) —
+    # an INDEPENDENT algorithm from both the engine's union-find and its
+    # large-star/small-star distributed path.
+    cc_ctes = f"""
+        WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+        cedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        cnodes AS (SELECT DISTINCT src AS node FROM cedges),
+        reach(node, r) AS (
+            SELECT node, node FROM cnodes
+            UNION
+            SELECT rr.node, e.dst FROM reach rr JOIN cedges e ON rr.r = e.src
+        ),
+        comp AS (
+            SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        )
+    """
 
     return {
         # FLAGSHIP exact oracle: the generator's construction-knowledge ground
@@ -717,79 +827,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
         """,
-        # MinHash+LSH: the band table is the shared spec (independent
-        # pure-Python scalar recomputation — _minhash_bands_sidecar); the
-        # DISTRIBUTED parts are recomputed in SQL: bucketing on
-        # (band_id, band_hash), the 64-member sorted-doc_id bucket cap,
-        # cross-band pair dedup, and exact 3-shingle Jaccard verification
-        # over shingle STRINGS (vs the engine's crc32 shingle sets — equal
-        # absent crc collisions, the same equivalence ngram_jaccard_pairs
-        # already pins green on this corpus).
-        "minhash_near_dup_pairs": f"""
-            WITH bands AS (
-                SELECT * FROM read_parquet('{_minhash_bands_sidecar()}')
-            ),
-            buckets AS (
-                SELECT band_id, band_hash FROM bands
-                GROUP BY band_id, band_hash HAVING count(*) > 1
-            ),
-            ranked AS (
-                SELECT b.band_id, b.band_hash, b.doc_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY b.band_id, b.band_hash
-                           ORDER BY b.doc_id
-                       ) AS r
-                FROM bands b JOIN buckets USING (band_id, band_hash)
-            ),
-            capped AS (SELECT * FROM ranked WHERE r <= 64),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM capped a
-                JOIN capped b ON a.band_id = b.band_id
-                             AND a.band_hash = b.band_hash
-                             AND a.doc_id < b.doc_id
-            ),
-            base AS (
-                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
-                FROM documents
-            ),
-            tok AS (
-                SELECT doc_id, unnest(toks) AS w,
-                       generate_subscripts(toks, 1) AS i
-                FROM base
-            ),
-            tri AS (
-                SELECT doc_id,
-                       w || ' ' || lead(w, 1) OVER win || ' ' ||
-                       lead(w, 2) OVER win AS shingle
-                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-            ),
-            big AS (
-                SELECT doc_id, list_distinct(list(shingle)) AS sh
-                FROM tri WHERE shingle IS NOT NULL GROUP BY doc_id
-            ),
-            small AS (
-                SELECT doc_id,
-                       CASE WHEN len(toks) = 0 THEN []
-                            ELSE [array_to_string(toks, ' ')] END AS sh
-                FROM base WHERE len(toks) < 3
-            ),
-            shs AS (SELECT * FROM big UNION ALL SELECT * FROM small),
-            verified AS (
-                SELECT c.doc_a, c.doc_b,
-                       len(list_intersect(sa.sh, sb.sh)) AS inter,
-                       len(sa.sh) + len(sb.sh)
-                         - len(list_intersect(sa.sh, sb.sh)) AS uni
-                FROM cand c
-                JOIN shs sa ON sa.doc_id = c.doc_a
-                JOIN shs sb ON sb.doc_id = c.doc_b
-            )
-            SELECT doc_a, doc_b,
-                   CASE WHEN uni = 0 THEN 1.0
-                        ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
-            FROM verified
-            WHERE (CASE WHEN uni = 0 THEN 1.0
-                        ELSE CAST(inter AS DOUBLE) / uni END) >= 0.5
+        "minhash_near_dup_pairs": minhash_pairs_sql,
+        "near_dup_components": f"""
+            {cc_ctes}
+            SELECT doc_id, component FROM comp
+        """,
+        "near_dup_dedup_filter": f"""
+            {cc_ctes}
+            SELECT d.doc_id, d.text FROM documents d
+            LEFT JOIN comp ON d.doc_id = comp.doc_id
+            WHERE comp.doc_id IS NULL OR d.doc_id = comp.component
         """,
         # Relational joins: floor-cents int sums (lineitem_agg convention);
         # the as-of oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
@@ -848,8 +895,65 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rank <= 3
         """,
-        # All 43 queries have oracles: redact_full /
+        # Analytics: exact histogram quantiles (oracle = DuckDB's native
+        # percentile_disc over the row-level values — the engine only ever
+        # sees the distinct-value histogram), range join (VALUES interval
+        # table mirrored from analytics.VALUE_BANDS), deterministic grouped
+        # sampling (md5-of-id rank), TF-IDF (tf · ln(N/df), ties by term).
+        "events_value_quantiles": """
+            WITH c AS (
+                SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            """
+        + "\nUNION ALL\n".join(
+            f"""SELECT event_type, CAST({p} AS DOUBLE) AS p,
+                       percentile_disc({p}) WITHIN GROUP (ORDER BY cents)
+                           AS value_cents
+                FROM c GROUP BY event_type"""
+            for p in A.QUANTILE_PS
+        ),
+        "events_band_join": """
+            WITH bands(tier, lo, hi) AS (VALUES
+                ('micro', 0.0, 5.0), ('small', 5.0, 10.0), ('mid', 10.0, 20.0),
+                ('large', 20.0, 50.0), ('huge', 50.0, 1e308))
+            SELECT e.event_id, b.tier
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        """,
+        "doc_group_sample": """
+            SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        "doc_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln((SELECT n_docs FROM n) / df.df) DESC,
+                                    tf.term
+                       ) AS rank
+                FROM tf JOIN df USING (term)
+            ) WHERE rank <= 3
+        """,
+        # All 49 queries have oracles: redact_full /
         # redact_fragment_digits / html_extract_redact via the generator
         # ground-truth sidecar pattern; ann_topk_ivf via shared-centroid SQL
-        # replication; minhash_near_dup_pairs via the band-table sidecar.
+        # replication; minhash pairs / components / dedup filter via the
+        # band-table sidecar (+ recursive-CTE reachability for components).
     }

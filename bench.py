@@ -222,6 +222,15 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
         timed("conv_assemble", lambda: _consume(TQ.conv_assemble(sf_dir)))
 
+        from pdfredact_ray.pipelines import analytics as AN
+
+        # near-dup clustering (minhash pairs -> connected components -> filter)
+        timed("near_dup_filter", lambda: _consume(C.near_dup_dedup_filter(sf_dir)))
+        timed("value_quantiles", lambda: _consume(AN.events_value_quantiles(sf_dir)))
+        timed("band_join", lambda: _consume(AN.events_band_join(sf_dir)))
+        timed("group_sample", lambda: _consume(AN.doc_group_sample(sf_dir)))
+        timed("tfidf_top_terms", lambda: _consume(AN.doc_tfidf_top_terms(sf_dir)))
+
     headline_sec = timings["redact_sorted_write"]
     return {
         "metric": "end-to-end redaction (detect+merge+mask+order-restore+parquet sink) wall sec",

@@ -1,0 +1,293 @@
+"""Analytics operators a training-data pipeline runs alongside dedup/joins:
+exact distributed quantiles, a range (interval) join, deterministic grouped
+sampling, and TF-IDF term scoring.
+
+Scale shapes:
+
+- ``events_value_quantiles`` — exact quantiles WITHOUT a global sort: the
+  classic distinct-value-histogram reduction. Map-side partial counts per
+  (group, value) collapse each batch to its distinct values, the only
+  shuffle is the (group, cents, count) histogram — bounded by value
+  CARDINALITY, not row count (money-like cents: tens of thousands of
+  distinct values regardless of corpus size). The per-group quantile scan
+  then runs over the tiny histogram in ``map_groups``. For genuinely
+  unbounded-cardinality doubles you would pre-bucket (t-digest style) and
+  accept approximation; cents are exact by construction.
+- ``events_band_join`` — range join against a broadcast interval table:
+  each event row lands in the [lo, hi) band containing its value via one
+  vectorized ``np.searchsorted`` against the broadcast boundary array. The
+  fact side streams; no shuffle at all. This is the scale shape whenever
+  the interval side is small (tier tables, SLA windows, calendar ranges);
+  a big-big interval join would instead partition both sides by
+  range-bucket and run the same searchsorted per bucket.
+- ``doc_group_sample`` — deterministic per-group k-sample: rank by
+  ``md5(str(doc_id))`` (content-independent, reshard-stable — the same
+  stability argument as the train/val split) and keep the k smallest per
+  group. Per-batch partial top-k means each batch forwards at most
+  k × groups rows, so the shuffle is O(k · groups · batches), independent
+  of table size.
+- ``doc_tfidf_top_terms`` — TF-IDF with a broadcast document-frequency
+  table: pass 1 computes per-batch (token, partial df) with per-doc
+  de-duplication map-side, so only the vocabulary-sized histogram
+  shuffles; the df map is then ``ray.put`` once and pass 2 scores each
+  doc's terms entirely in-batch. Vocabulary is zipfian (~10^7 entries at
+  web scale — broadcastable); if it ever were not, the fallback is a
+  hash-partitioned join of (doc, token, tf) against (token, df) — the df
+  side stays the small one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+# (tier, lo, hi) — hi exclusive; the last band is open-ended. Mirrored
+# verbatim in the SQL oracle's VALUES list.
+VALUE_BANDS = (
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 10.0),
+    ("mid", 10.0, 20.0),
+    ("large", 20.0, 50.0),
+    ("huge", 50.0, float("inf")),
+)
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def events_value_quantiles(sf_dir: str, ps: tuple = QUANTILE_PS) -> rd.Dataset:
+    """Exact per-event-type quantiles of floor-cents value via the
+    distinct-value histogram: partial (event_type, cents, n) per batch →
+    groupby sum → per-type discrete quantile over the cumulative histogram.
+
+    percentile_disc semantics (Postgres/DuckDB: the smallest value whose
+    cumulative fraction is >= p, i.e. sorted index ``ceil(p · n) - 1``) —
+    computed from the cumulative counts of the histogram, never
+    materializing the row-level values."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        etype = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        if len(cents) and (cents < 0).any():
+            raise ValueError("negative value cents: compound histogram key assumes >= 0")
+        # batch-local histogram: collapse to distinct (type, cents)
+        tcodes, tinv = np.unique(etype, return_inverse=True)
+        comp = tinv.astype(np.int64) * (np.int64(1) << np.int64(40)) + cents
+        uniq, inv = np.unique(comp, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(tcodes[uniq >> np.int64(40)], pa.string()),
+                "cents": pa.array(uniq & ((np.int64(1) << np.int64(40)) - 1), pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(["event_type", "cents", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        cents = g.column("cents").to_numpy()
+        n = g.column("n").to_numpy()
+        order = np.argsort(cents, kind="stable")
+        cents, n = cents[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        rows_p, rows_v = [], []
+        for p in ps:
+            # smallest value with cume_dist >= p: sorted index ceil(p*n)-1
+            idx = max(int(math.ceil(p * total)) - 1, 0)
+            pos = int(np.searchsorted(cum, idx + 1))
+            rows_p.append(p)
+            rows_v.append(int(cents[pos]))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()] * len(ps), pa.string()
+                ),
+                "p": pa.array(rows_p, pa.float64()),
+                "value_cents": pa.array(rows_v, pa.int64()),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(quantiles, batch_format="pyarrow")
+
+
+def events_band_join(sf_dir: str) -> rd.Dataset:
+    """Range join events.value into the broadcast [lo, hi) band table; emits
+    (event_id, tier). One ``np.searchsorted`` against the boundary array per
+    batch — the fact side never shuffles."""
+    los = np.array([b[1] for b in VALUE_BANDS], dtype=np.float64)
+    tiers = np.array([b[0] for b in VALUE_BANDS], dtype=object)
+    bands_ref = ray.put({"los": los, "tiers": tiers})
+
+    def assign(t: pa.Table, ref) -> pa.Table:
+        d = ref if isinstance(ref, dict) else ray.get(ref)
+        v = t.column("value").to_numpy()
+        idx = np.searchsorted(d["los"], v, side="right") - 1
+        if (idx < 0).any():
+            raise ValueError("event value below the lowest band")
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "tier": pa.array(d["tiers"][idx], pa.string()),
+            }
+        )
+
+    return _events(sf_dir, ["event_id", "value"]).map_batches(
+        assign, fn_args=(bands_ref,), batch_format="pyarrow"
+    )
+
+
+def doc_group_sample(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Deterministic k-per-group sample: per source, the k docs with the
+    smallest ``md5(str(doc_id))`` (hex compares lexicographically identically
+    in Python and SQL). Per-batch partial top-k → tiny final top-k per
+    group; rank is 1-based in hash order."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        did = t.column("doc_id").to_numpy()
+        h = np.asarray(
+            [hashlib.md5(str(int(d)).encode()).hexdigest() for d in did], dtype=object
+        )
+        keep = np.zeros(len(did), dtype=bool)
+        for s in np.unique(src):
+            idx = np.flatnonzero(src == s)
+            order = np.lexsort((did[idx], h[idx]))[:k]
+            keep[idx[order]] = True
+        return pa.table(
+            {
+                "source": pa.array(src[keep], pa.string()),
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "hash": pa.array(h[keep], pa.string()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy()
+        h = np.asarray(g.column("hash").to_pylist(), dtype=object)
+        order = np.lexsort((did, h))[:k]
+        return pa.table(
+            {
+                "source": g.column("source").take(pa.array(order)),
+                "doc_id": pa.array(did[order], pa.int64()),
+                "sample_rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+class _TfIdfScorer:
+    """Actor stage for pass 2: holds the broadcast df map; per batch,
+    tokenizes each doc once and emits its top-k terms by tf·idf."""
+
+    def __init__(self, df_ref, n_docs: int, k: int):
+        d = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
+        self.df = d
+        self.n_docs = n_docs
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs, dfs, ranks = [], [], [], [], []
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        for doc_id, text in zip(ids, texts):
+            tf = Counter(TOKEN_RE.findall(text.lower()))
+            if not tf:
+                continue
+            scored = sorted(
+                (
+                    (-cnt * math.log(self.n_docs / self.df[tok]), tok, cnt)
+                    for tok, cnt in tf.items()
+                ),
+            )[: self.k]
+            for r, (_, tok, cnt) in enumerate(scored, 1):
+                doc_ids.append(doc_id)
+                terms.append(tok)
+                tfs.append(cnt)
+                dfs.append(self.df[tok])
+                ranks.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+
+def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k TF-IDF terms per document (score = tf · ln(N/df), ties broken
+    term-ascending). Pass 1 reduces documents to the vocabulary-sized df
+    histogram (per-doc dedup map-side, so only (token, partial_df) rows
+    shuffle); the df map broadcasts once; pass 2 scores in-batch."""
+    from pdfredact_ray.pipelines.redact import default_concurrency
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(set(TOKEN_RE.findall(text.lower())))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df"))
+    )
+    blocks = [t for t in ray.get(df_tbl.to_arrow_refs()) if t.num_columns]
+    vocab = pa.concat_tables(blocks)
+    df_map = dict(
+        zip(vocab.column("term").to_pylist(), vocab.column("sum(df)").to_pylist())
+    )
+    n_docs = docs.count()
+    df_ref = ray.put(df_map)
+    return docs.map_batches(
+        _TfIdfScorer,
+        fn_constructor_args=(df_ref, n_docs, k),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )

@@ -922,3 +922,54 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# Edge-count gate for driver-side union-find over near-dup pairs: the pair
+# list is O(near-dups), so one machine handles millions of edges in
+# milliseconds; past the gate the alternating large-star/small-star rounds
+# (stages/dedup.py) take over — the shape for crawl-scale dup clusters.
+CC_DRIVER_MAX_EDGES = 5_000_000
+
+
+def near_dup_components(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Near-dup clustering: MinHash+LSH verified pairs -> connected
+    components; (doc_id, component) for every doc in at least one pair,
+    component = min member id. The composition that turns pairwise
+    near-dups into dedup GROUPS (a pair list alone can't drive a filter —
+    transitive chains a~b~c must collapse to one group)."""
+    from pdfredact_ray.stages.dedup import (
+        connected_components_distributed,
+        union_find_components,
+    )
+
+    pairs = minhash_near_dup_pairs(sf_dir, threshold)
+    a = pairs.column("doc_a").to_numpy().astype(np.int64)
+    b = pairs.column("doc_b").to_numpy().astype(np.int64)
+    if pairs.num_rows <= CC_DRIVER_MAX_EDGES:
+        return union_find_components(a, b)
+    return connected_components_distributed(pairs)
+
+
+def near_dup_dedup_filter(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """Near-dup dedup FILTER: documents minus non-canonical members of each
+    near-dup component (keep the min doc_id per component). Same broadcast
+    discipline as ``dedup_filter``: the DROP set is O(near-dups); the
+    corpus streams through one task-based vectorized anti-join."""
+    labels = near_dup_components(sf_dir, threshold)
+    drop = [
+        int(d)
+        for d, c in zip(
+            labels.column("doc_id").to_pylist(), labels.column("component").to_pylist()
+        )
+        if d != c
+    ]
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    if not drop:
+        return docs
+    drop_ids = pa.array(sorted(drop), type=pa.int64())
+    return docs.map_batches(
+        _semi_join,
+        fn_args=(ray.put(drop_ids), _doc_id_key),
+        fn_kwargs={"invert": True},
+        batch_format="pyarrow",
+    )

@@ -166,3 +166,176 @@ class SimHasher:
             key = [(s >> (band * 16)) & 0xFFFF for s in sims]
             out = out.append_column(f"band{band}", pa.array(key, type=pa.int32()))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a near-dup pair list (the clustering step that
+# turns pairwise near-dups into dedup groups).
+#
+# Two paths, size-gated like embed_cosine_near_dup:
+# - driver union-find (path-halving): the pair table is O(near-dups) — tiny
+#   relative to the corpus — so below the gate one numpy/Python pass is both
+#   exact and faster than any shuffle.
+# - distributed alternating large-star / small-star (Kiveris et al. 2014,
+#   "Connected Components in MapReduce and Beyond"): each round is one
+#   groupby over the edge list; converges in O(log^2 n) rounds to per-
+#   component stars centered at the min node. This is the 100 TB path when
+#   the pair list itself outgrows one machine (e.g. crawl-scale exact-dup
+#   clusters); its only shuffle key is the edge src.
+# ---------------------------------------------------------------------------
+
+
+def union_find_components(doc_a: np.ndarray, doc_b: np.ndarray) -> pa.Table:
+    """(node, component) for every node in the edge list; component = min
+    member id. Path-halving union-find on a compacted id space."""
+    nodes = np.unique(np.concatenate([doc_a, doc_b]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(doc_a, doc_b):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            # union by smaller ORIGINAL id so the root is the min member
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comp = np.array([nodes[find(i)] for i in range(len(nodes))], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes.astype(np.int64), pa.int64()),
+            "component": pa.array(comp, pa.int64()),
+        }
+    )
+
+
+def _dedup_edges(ds):
+    """Distinct (src, dst) via groupby — the only all-to-all per star round."""
+    import pyarrow.compute as pc
+
+    return ds.groupby(["src", "dst"]).count().map_batches(
+        lambda t: t if t.num_columns == 0 else t.drop_columns(["count()"]),
+        batch_format="pyarrow",
+    )
+
+
+def _large_star_group(g: pa.Table) -> pa.Table:
+    u = int(g.column("src")[0].as_py())
+    nbrs = np.unique(g.column("dst").to_numpy())
+    m = min(int(nbrs[0]), u)
+    big = nbrs[nbrs > u]
+    return pa.table(
+        {
+            "src": pa.array(big.astype(np.int64), pa.int64()),
+            "dst": pa.array(np.full(len(big), m, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def _small_star_group(g: pa.Table) -> pa.Table:
+    # edges arrive oriented hi -> lo, so every neighbor < u and min(N) is
+    # the candidate root
+    u = int(g.column("src")[0].as_py())
+    nbrs = np.unique(g.column("dst").to_numpy())
+    m = int(nbrs[0])
+    out = [v for v in nbrs[1:].tolist()] + [u]
+    return pa.table(
+        {
+            "src": pa.array(np.asarray(out, dtype=np.int64), pa.int64()),
+            "dst": pa.array(np.full(len(out), m, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def connected_components_distributed(edges: pa.Table, max_iters: int = 32) -> pa.Table:
+    """Large-star/small-star over a Ray Dataset built from the (doc_a,
+    doc_b) pair table; returns the same (doc_id, component) table as
+    ``union_find_components``. Convergence = the edge multiset checksum and
+    count are stable across a full large+small round (both phases are
+    monotone toward the star fixpoint, so a stable pair is a fixpoint)."""
+    import ray
+    import ray.data as rd
+
+    if edges.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": edges.column("doc_a").cast(pa.int64()),
+                "dst": edges.column("doc_b").cast(pa.int64()),
+            }
+        )
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # large-star over UNDIRECTED adjacency: emit both directions
+        both = ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [c.combine_chunks() for c in (t.column("src"), t.column("dst"))]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [c.combine_chunks() for c in (t.column("dst"), t.column("src"))]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ds = _dedup_edges(
+            both.groupby("src").map_groups(_large_star_group, batch_format="pyarrow")
+        )
+        # small-star over hi -> lo orientation
+        hi_lo = ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.array(
+                        np.maximum(t.column("src").to_numpy(), t.column("dst").to_numpy()),
+                        pa.int64(),
+                    ),
+                    "dst": pa.array(
+                        np.minimum(t.column("src").to_numpy(), t.column("dst").to_numpy()),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).filter(expr="src != dst")
+        ds = _dedup_edges(
+            hi_lo.groupby("src").map_groups(_small_star_group, batch_format="pyarrow")
+        ).filter(expr="src != dst").materialize()
+        blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+        tbl = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        s = tbl.column("src").to_numpy().astype(np.int64)
+        d = tbl.column("dst").to_numpy().astype(np.int64)
+        sig = (len(s), int(np.bitwise_xor.reduce((s * 1000003 + d) % (1 << 61), initial=0)))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+    # fixpoint edges are stars (v, root): labels = edges + roots themselves
+    nodes = np.concatenate([s, d])
+    comp = np.concatenate([d, d])
+    order = np.argsort(nodes, kind="stable")
+    nodes_s, comp_s = nodes[order], comp[order]
+    keep = np.concatenate(([True], nodes_s[1:] != nodes_s[:-1]))
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes_s[keep], pa.int64()),
+            "component": pa.array(comp_s[keep], pa.int64()),
+        }
+    )

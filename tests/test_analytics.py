@@ -1,0 +1,229 @@
+"""Analytics operators (quantiles / range join / grouped sample / TF-IDF)
+vs independent DuckDB recomputes at sf0.001, plus connected-components
+equivalence: driver union-find == distributed large-star/small-star on
+synthetic graphs, and the near-dup clustering pipeline end-to-end."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t + '.parquet')}')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_events_value_quantiles_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import QUANTILE_PS, events_value_quantiles
+
+    got = _norm(events_value_quantiles(SF).to_pandas())
+    union = "\nUNION ALL\n".join(
+        f"""SELECT event_type, CAST({p} AS DOUBLE) AS p,
+               percentile_disc({p}) WITHIN GROUP (ORDER BY cents) AS value_cents
+            FROM c GROUP BY event_type"""
+        for p in QUANTILE_PS
+    )
+    want = _norm(
+        _con()
+        .execute(
+            "WITH c AS (SELECT event_type, CAST(FLOOR(value*100) AS BIGINT) AS cents "
+            f"FROM events) {union}"
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_quantile_index_matches_percentile_disc_small():
+    # pin the discrete-index formula against DuckDB on awkward small n
+    import math
+
+    for vals in ([5], [1, 2], [1, 2, 3, 4], list(range(10))):
+        for p in (0.25, 0.5, 0.75, 0.9, 0.99):
+            want = duckdb.execute(
+                f"SELECT percentile_disc({p}) WITHIN GROUP (ORDER BY v) "
+                f"FROM (SELECT unnest({vals}) AS v)"
+            ).fetchone()[0]
+            n = len(vals)
+            idx = max(int(math.ceil(p * n)) - 1, 0)
+            assert sorted(vals)[idx] == want, (vals, p)
+
+
+def test_events_band_join_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import events_band_join
+
+    got = _norm(events_band_join(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH bands(tier, lo, hi) AS (VALUES
+            ('micro', 0.0, 5.0), ('small', 5.0, 10.0), ('mid', 10.0, 20.0),
+            ('large', 20.0, 50.0), ('huge', 50.0, 1e308))
+        SELECT e.event_id, b.tier
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every event lands in exactly one band
+    assert len(got) == _con().execute("SELECT COUNT(*) FROM events").fetchone()[0]
+
+
+def test_doc_group_sample_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import doc_group_sample
+
+    got = _norm(doc_group_sample(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 5"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_doc_tfidf_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import doc_tfidf_top_terms
+
+    got = _norm(doc_tfidf_top_terms(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((SELECT n_docs FROM n) / df.df) DESC,
+                                tf.term) AS rank
+            FROM tf JOIN df USING (term)
+        ) WHERE rank <= 3"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# --- connected components ---------------------------------------------------
+
+
+def _uf(edges):
+    from pdfredact_ray.stages.dedup import union_find_components
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    t = union_find_components(a, b)
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("component").to_pylist()))
+
+
+def test_union_find_basic():
+    # chain 1-2-3-4 plus isolated pair (10, 11): two components
+    labels = _uf([(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_union_find_star_and_order_independence():
+    edges = [(7, 3), (3, 9), (9, 1), (5, 6)]
+    labels = _uf(edges)
+    assert labels == {1: 1, 3: 1, 7: 1, 9: 1, 5: 5, 6: 5}
+    assert labels == _uf(list(reversed(edges)))
+
+
+def test_cc_distributed_equals_union_find(ray_session):
+    from pdfredact_ray.stages.dedup import connected_components_distributed
+
+    rng = np.random.default_rng(7)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],  # chain + pair
+        [(i, i + 1) for i in range(30)],  # long chain (log^2 rounds)
+        [(0, i) for i in range(1, 12)],  # star
+    ]
+    # random graph: 40 nodes, 35 random edges
+    nodes = rng.choice(1000, size=40, replace=False)
+    cases.append(
+        [tuple(sorted(rng.choice(nodes, size=2, replace=False).tolist())) for _ in range(35)]
+    )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        tbl = pa.table(
+            {
+                "doc_a": pa.array([e[0] for e in edges], pa.int64()),
+                "doc_b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        got = connected_components_distributed(tbl)
+        dist = dict(
+            zip(got.column("doc_id").to_pylist(), got.column("component").to_pylist())
+        )
+        assert dist == _uf(edges)
+
+
+def test_near_dup_components_and_filter(ray_session):
+    from pdfredact_ray.pipelines.corpus import (
+        minhash_near_dup_pairs,
+        near_dup_components,
+        near_dup_dedup_filter,
+    )
+
+    pairs = minhash_near_dup_pairs(SF)
+    labels = near_dup_components(SF)
+    lab = dict(
+        zip(labels.column("doc_id").to_pylist(), labels.column("component").to_pylist())
+    )
+    # every paired doc is labeled; endpoints of a pair share a component
+    for a, b in zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()):
+        assert lab[a] == lab[b]
+    # component id is the min member
+    comp_members: dict = {}
+    for d, c in lab.items():
+        comp_members.setdefault(c, []).append(d)
+    for c, members in comp_members.items():
+        assert c == min(members)
+
+    kept = near_dup_dedup_filter(SF).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    dropped = {d for d, c in lab.items() if d != c}
+    assert dropped.isdisjoint(kept_ids)
+    assert {c for c in comp_members} <= kept_ids  # canonical member survives
+    import pyarrow.parquet as pq
+
+    all_ids = set(
+        pq.read_table(os.path.join(SF, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    assert kept_ids == all_ids - dropped
