@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": C.multimodal_decode,
         "multimodal_resize": C.multimodal_resize,
         "multimodal_frames": C.multimodal_frames,
+        "multimodal_audio": C.multimodal_audio,
         # --- windowed / sessionized events + wide aggregate
         "events_tumbling_window": C.events_tumbling_window,
         "events_hopping_window": C.events_hopping_window,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     deterministic grouped sampling / TF-IDF)
         "events_value_quantiles": A.events_value_quantiles,
         "events_band_join": A.events_band_join,
+        "events_moving_stats": A.events_moving_stats,
         "doc_group_sample": A.doc_group_sample,
         "doc_tfidf_top_terms": A.doc_tfidf_top_terms,
     }
@@ -230,7 +232,7 @@ def oracle_sql() -> dict[str, str]:
     # Ray queries read (driver compares at sf=0.01)
     from pdfredact_ray.sources.htmldocs import ensure_html_docs
 
-    from pdfredact_ray.sources.binimg import ensure_images, ensure_videos
+    from pdfredact_ray.sources.binimg import ensure_audio, ensure_images, ensure_videos
     from pdfredact_ray.sources.turns import ensure_expected
 
     turns = ensure_turns("sf0.01")
@@ -238,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
     htmldocs = ensure_html_docs("sf0.01")
     images = ensure_images("sf0.01")
     videos = ensure_videos("sf0.01")
+    audio = ensure_audio("sf0.01")
     plain = f"SELECT * FROM read_parquet('{turns}') WHERE {_PLAIN}"
 
     # per-rule (pattern, count-expr) in engine rule_pattern spelling
@@ -696,6 +699,10 @@ def oracle_sql() -> dict[str, str]:
                    resized_checksum AS checksum
             FROM read_parquet('{images}')
         """,
+        "multimodal_audio": f"""
+            SELECT doc_id, n_samples, sample_rate, peak, rms_floor, duration_ms
+            FROM read_parquet('{audio}')
+        """,
         "multimodal_frames": f"""
             SELECT doc_id, CAST(i - 1 AS INTEGER) AS frame_idx, cs AS checksum
             FROM (
@@ -919,6 +926,22 @@ def oracle_sql() -> dict[str, str]:
                 ('large', 20.0, 50.0), ('huge', 50.0, 1e308))
             SELECT e.event_id, b.tier
             FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        """,
+        "events_moving_stats": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+                   cents - LAG(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta_cents
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "doc_group_sample": """
             SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (

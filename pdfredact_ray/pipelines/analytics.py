@@ -291,3 +291,52 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
         batch_format="pyarrow",
         concurrency=default_concurrency(),
     )
+
+
+def events_moving_stats(sf_dir: str, w: int = 5) -> rd.Dataset:
+    """ROWS-window aggregates per user: for each event (ordered by ts,
+    event_id within user), the floor-cents sum and row count over the
+    current + w-1 preceding rows, plus the lag-1 delta (NULL on each user's
+    first event). The row-based sliding window Ray Data has no native
+    operator for, expressed as ``groupby(user_id).map_groups`` with one
+    in-group sort and a cumsum-difference — no per-row Python. Per-user
+    locality is the partitioning assumption (same as the as-of join; the
+    sessionize two-stage split is the fallback if a whale user appears)."""
+
+    def win(g: pa.Table) -> pa.Table:
+        ts = (
+            g.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy()
+        cents = pc.cast(
+            pc.floor(pc.multiply(g.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        order = np.lexsort((eid, ts))
+        eid_s, cents_s = eid[order], cents[order]
+        cum = np.concatenate(([0], np.cumsum(cents_s)))
+        n = len(cents_s)
+        lo = np.maximum(np.arange(n) - (w - 1), 0)
+        win_sum = cum[np.arange(1, n + 1)] - cum[lo]
+        win_n = np.arange(1, n + 1) - lo
+        delta = np.empty(n, dtype=object)
+        delta[0] = None
+        if n > 1:
+            delta[1:] = (cents_s[1:] - cents_s[:-1]).tolist()
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "win_sum_cents": pa.array(win_sum.astype(np.int64), pa.int64()),
+                "win_n": pa.array(win_n.astype(np.int64), pa.int64()),
+                "delta_cents": pa.array(delta.tolist(), pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(win, batch_format="pyarrow")
+    )

@@ -765,6 +765,25 @@ def multimodal_frames(sf_dir: str) -> rd.Dataset:
     )
 
 
+def multimodal_audio(sf_dir: str) -> rd.Dataset:
+    """Audio decode + feature extraction: REAL RIFF/WAVE PCM16 payloads
+    (sources.binimg.ensure_audio, written by the stdlib wave encoder)
+    through the manual chunk-walk parser; integer waveform features (peak,
+    rms_floor, duration) oracle-checked against the generator's pure-Python
+    ground truth. Small batches for big binary payloads — the same 100 TB
+    memory shape as the image stages."""
+    from pdfredact_ray.sources.binimg import ensure_audio
+    from pdfredact_ray.stages.multimodal import AudioDecoder
+
+    path = ensure_audio(sf_dir)
+    return rd.read_parquet(path, columns=["doc_id", "payload"]).map_batches(
+        AudioDecoder,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=default_concurrency(),
+    )
+
+
 # ------------------------------------------------------------------- events
 
 def events_tumbling_window(sf_dir: str) -> rd.Dataset:

@@ -124,6 +124,71 @@ def generate_videos_table(n_docs: int, label: str = "vid", seed: int = 43) -> pa
     )
 
 
+def generate_audio_table(n_docs: int, label: str = "aud", seed: int = 44) -> pa.Table:
+    """REAL RIFF/WAVE PCM16 mono payloads (written by the stdlib ``wave``
+    module — an encoder implementation independent of the engine's manual
+    RIFF chunk parser) + feature ground truth computed with pure-Python
+    integer arithmetic over the samples: peak = max |s|, rms_floor =
+    isqrt(sum(s^2) // n), duration_ms = n*1000 // rate. The decode stage
+    must locate the data chunk, honor the declared format, and reproduce
+    these integers exactly."""
+    import io
+    import math
+    import wave
+
+    rng = _rng(label, seed)
+    payloads: List[bytes] = []
+    n_samples_col: List[int] = []
+    rates: List[int] = []
+    peaks: List[int] = []
+    rmss: List[int] = []
+    durs: List[int] = []
+    for _ in range(n_docs):
+        rate = int(rng.choice([8000, 16000, 22050]))
+        n = int(rng.integers(200, 4001))
+        # sine carrier + uniform noise, clipped to int16
+        freq = float(rng.uniform(50, 2000))
+        amp = float(rng.uniform(500, 20000))
+        t = np.arange(n, dtype=np.float64)
+        samples = amp * np.sin(2 * np.pi * freq * t / rate) + rng.uniform(
+            -3000, 3000, size=n
+        )
+        s16 = np.clip(np.round(samples), -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(s16.tobytes())
+        payloads.append(buf.getvalue())
+        # pure-Python ground truth (independent of the numpy decode path)
+        ints = [int(x) for x in s16.tolist()]
+        sumsq = sum(x * x for x in ints)
+        n_samples_col.append(n)
+        rates.append(rate)
+        peaks.append(max(abs(x) for x in ints))
+        rmss.append(math.isqrt(sumsq // n))
+        durs.append(n * 1000 // rate)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_samples": pa.array(n_samples_col, type=pa.int64()),
+            "sample_rate": pa.array(rates, type=pa.int32()),
+            "peak": pa.array(peaks, type=pa.int64()),
+            "rms_floor": pa.array(rmss, type=pa.int64()),
+            "duration_ms": pa.array(durs, type=pa.int64()),
+        }
+    )
+
+
+_GENERATORS = {
+    "images": generate_images_table,
+    "videos": generate_videos_table,
+    "audio": generate_audio_table,
+}
+
+
 def _ensure(kind: str, sf_dir_or_label: str, base_dir: str) -> str:
     label = sf_label_of(sf_dir_or_label)
     n = max(50, n_turns_for(label) // 20)  # 1/20th of the turn count
@@ -131,9 +196,8 @@ def _ensure(kind: str, sf_dir_or_label: str, base_dir: str) -> str:
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    gen = generate_images_table if kind == "images" else generate_videos_table
     tmp = path + ".tmp"
-    pq.write_table(gen(n, label=label), tmp, row_group_size=max(64, n // 16))
+    pq.write_table(_GENERATORS[kind](n, label=label), tmp, row_group_size=max(64, n // 16))
     os.replace(tmp, path)
     return path
 
@@ -144,3 +208,7 @@ def ensure_images(sf_dir_or_label: str, base_dir: str = DEFAULT_BASE_DIR) -> str
 
 def ensure_videos(sf_dir_or_label: str, base_dir: str = DEFAULT_BASE_DIR) -> str:
     return _ensure("videos", sf_dir_or_label, base_dir)
+
+
+def ensure_audio(sf_dir_or_label: str, base_dir: str = DEFAULT_BASE_DIR) -> str:
+    return _ensure("audio", sf_dir_or_label, base_dir)

@@ -201,3 +201,75 @@ class FrameSampler:
                 "checksum": pa.array(checksums, type=pa.int64()),
             }
         )
+
+
+def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM16 mono payload -> (sample_rate, int16 array).
+
+    A manual chunk-walk parser (RIFF header, word-aligned chunks, "fmt "
+    validation, "data" extraction) — independent of the stdlib ``wave``
+    encoder the generator uses. Raises ValueError on anything that is not
+    uncompressed 16-bit mono PCM."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={fmt}, channels={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM16 data length")
+    return int(rate), np.frombuffer(data, dtype="<i2")
+
+
+class AudioDecoder:
+    """Actor stage: WAV payload -> integer waveform features (n_samples,
+    sample_rate, peak, rms_floor, duration_ms). All integer arithmetic so
+    the generator's pure-Python ground truth is reproduced bit-exactly;
+    the int16 -> int64 cast before squaring/abs matters (|INT16_MIN|
+    overflows int16, and sum of squares overflows int32)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        n_col: list = []
+        rate_col: list = []
+        peak_col: list = []
+        rms_col: list = []
+        dur_col: list = []
+        for payload in batch.column("payload").to_pylist():
+            rate, s = decode_wav(payload)
+            s64 = s.astype(np.int64)
+            n = len(s64)
+            if n == 0:
+                raise ValueError("empty PCM payload")
+            n_col.append(n)
+            rate_col.append(rate)
+            peak_col.append(int(np.abs(s64).max()))
+            rms_col.append(math.isqrt(int((s64 * s64).sum()) // n))
+            dur_col.append(n * 1000 // rate)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_samples": pa.array(n_col, pa.int64()),
+                "sample_rate": pa.array(rate_col, pa.int32()),
+                "peak": pa.array(peak_col, pa.int64()),
+                "rms_floor": pa.array(rms_col, pa.int64()),
+                "duration_ms": pa.array(dur_col, pa.int64()),
+            }
+        )

@@ -227,3 +227,97 @@ def test_near_dup_components_and_filter(ray_session):
         .to_pylist()
     )
     assert kept_ids == all_ids - dropped
+
+
+def test_events_moving_stats_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import events_moving_stats
+
+    got = _norm(events_moving_stats(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH c AS (
+            SELECT event_id, user_id, ts,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id,
+               CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+               cents - LAG(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# --- audio decode -----------------------------------------------------------
+
+
+def test_audio_decode_matches_ground_truth(ray_session):
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.pipelines.corpus import multimodal_audio
+    from pdfredact_ray.sources.binimg import ensure_audio
+
+    got = _norm(multimodal_audio(SF).to_pandas())
+    want = _norm(
+        pq.read_table(
+            ensure_audio(SF),
+            columns=[
+                "doc_id", "n_samples", "sample_rate", "peak", "rms_floor", "duration_ms",
+            ],
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_decode_wav_rejects_malformed():
+    import struct as st
+
+    from pdfredact_ray.stages.dedup import np as _np  # noqa: F401
+    from pdfredact_ray.stages.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + b"\x00" * 4 + b"WAVE")  # no chunks
+    # stereo (channels=2) rejected
+    fmt = st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    payload = (
+        b"RIFF" + st.pack("<I", 0) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+
+
+def test_decode_wav_roundtrip_int16_min():
+    """|INT16_MIN| must not overflow: peak of a [-32768] signal is 32768."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pdfredact_ray.stages.multimodal import AudioDecoder, decode_wav
+
+    s = np.array([-32768, 100, -5], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(s.tobytes())
+    rate, dec = decode_wav(buf.getvalue())
+    assert rate == 8000 and dec.tolist() == s.tolist()
+    out = AudioDecoder()(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([buf.getvalue()], pa.binary())})
+    )
+    assert out.column("peak").to_pylist() == [32768]
