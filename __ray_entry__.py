@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": C.ann_topk_bruteforce,
         "ann_topk_ivf": C.ann_topk_ivf,
         "embed_cosine_near_dup": C.embed_cosine_near_dup,
+        # iterative ML: fixed-point Lloyd's k-means (2 rounds, exact int64)
+        "kmeans_clusters": C.kmeans_clusters,
         # --- main-content extraction (HTML boilerplate strip + DOM heuristics)
         "html_extract_text": C.html_extract_text,
         "html_extract_redact": C.html_extract_redact,
@@ -698,6 +700,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
                    resized_checksum AS checksum
             FROM read_parquet('{images}')
+        """,
+        # Fixed-point k-means, 2 Lloyd rounds fully unrolled in SQL. The
+        # 2^20 quantization (floor(x*S + 0.5), round-half-up — np.round's
+        # banker's rounding would NOT match) makes every distance, argmin
+        # tie-break (dist, then cluster id) and centroid update
+        # (elementwise floor(sum/n), empty cluster keeps its centroid)
+        # exact integer arithmetic on both sides — the same determinism
+        # discipline as the int-cents money sums.
+        "kmeans_clusters": """
+            WITH q AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS d,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5)
+                            AS BIGINT) AS qv
+                FROM embeddings
+            ),
+            seed AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            c0 AS (SELECT s.j, q.d, q.qv AS cv FROM seed s JOIN q USING (vec_id)),
+            d1 AS (
+                SELECT q.vec_id, c.j, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+                FROM q JOIN c0 c ON q.d = c.d GROUP BY q.vec_id, c.j
+            ),
+            a1 AS (
+                SELECT vec_id, j FROM (
+                    SELECT vec_id, j,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, j) AS rn
+                    FROM d1) WHERE rn = 1
+            ),
+            u1 AS (
+                SELECT a.j, q.d,
+                       CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+                FROM a1 a JOIN q USING (vec_id)
+                GROUP BY a.j, q.d
+            ),
+            c1 AS (
+                SELECT c0.j, c0.d, COALESCE(u1.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN u1 ON c0.j = u1.j AND c0.d = u1.d
+            ),
+            d2 AS (
+                SELECT q.vec_id, c.j, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+                FROM q JOIN c1 c ON q.d = c.d GROUP BY q.vec_id, c.j
+            ),
+            a2 AS (
+                SELECT vec_id, j FROM (
+                    SELECT vec_id, j,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, j) AS rn
+                    FROM d2) WHERE rn = 1
+            )
+            SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM a2
         """,
         "multimodal_audio": f"""
             SELECT doc_id, n_samples, sample_rate, peak, rms_floor, duration_ms

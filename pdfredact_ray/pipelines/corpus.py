@@ -992,3 +992,103 @@ def near_dup_dedup_filter(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         fn_kwargs={"invert": True},
         batch_format="pyarrow",
     )
+
+
+# Fixed-point k-means: embedding components quantized to a 2^20 integer
+# grid up front, ALL arithmetic exact int64 after that — the same
+# determinism discipline as the int-cents money sums (float partial sums
+# are order-dependent under distributed combining; integer sums are not),
+# and what makes an iterative ML algorithm bit-exactly SQL-oracle-checkable.
+KMEANS_SCALE = np.int64(1 << 20)
+
+
+def _quantize_embeddings(m: np.ndarray) -> np.ndarray:
+    # round-half-up (floor(x*S + 0.5)) — mirrored verbatim in the SQL
+    # oracle; np.round's banker's rounding is NOT (differs on exact .5)
+    return np.floor(m * float(KMEANS_SCALE) + 0.5).astype(np.int64)
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 2) -> rd.Dataset:
+    """Lloyd's k-means over the embeddings table, fixed-point and fully
+    deterministic: init centroids = the quantized vectors of the k smallest
+    vec_ids, then ``iters`` assignment rounds with an integer centroid
+    update (elementwise floor(sum/n), empty cluster keeps its centroid)
+    between them; returns the final (vec_id, cluster) assignment.
+
+    Scale shape per round: centroids broadcast via ``ray.put`` (k × dim
+    ints); each batch computes assignments with one integer GEMM and
+    emits only k partial rows (per-cluster dim-sums + count) — the driver
+    combines O(k · batches) partials, never the vectors. The assignment
+    pass of the LAST round is the output pass (no extra sweep)."""
+    from pdfredact_ray.stages.embed import _to_matrix
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    # init: global min-k by vec_id via per-batch partial top-k (k rows per
+    # batch cross the wire, never the table)
+    def initk(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy()
+        order = np.argsort(vid)[:k]
+        return t.take(pa.array(order))
+
+    seed_tbl = _collect(emb.map_batches(initk, batch_format="pyarrow"))
+    vid = seed_tbl.column("vec_id").to_numpy()
+    order = np.argsort(vid)[:k]
+    cents = _quantize_embeddings(_to_matrix(seed_tbl.column("embedding"))[order])
+
+    def assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d2 = (
+            (q * q).sum(axis=1)[:, None]
+            - 2 * (q @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return np.argmin(d2, axis=1)  # first min -> smallest cluster id
+
+    def partials(t: pa.Table, cref) -> pa.Table:
+        c = cref if isinstance(cref, np.ndarray) else ray.get(cref)
+        q = _quantize_embeddings(_to_matrix(t.column("embedding")))
+        a = assign(q, c)
+        js, sums, ns = [], [], []
+        for j in np.unique(a):
+            m = a == j
+            js.append(int(j))
+            sums.append(q[m].sum(axis=0).tolist())
+            ns.append(int(m.sum()))
+        return pa.table(
+            {
+                "j": pa.array(js, pa.int64()),
+                "sums": pa.array(sums, pa.list_(pa.int64())),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    for _ in range(iters - 1):
+        part = _collect(
+            emb.map_batches(partials, fn_args=(ray.put(cents),), batch_format="pyarrow")
+        )
+        dim = cents.shape[1]
+        sums = np.zeros((k, dim), dtype=np.int64)
+        ns = np.zeros(k, dtype=np.int64)
+        flat = np.asarray(part.column("sums").combine_chunks().flatten().to_numpy(), np.int64)
+        mat = flat.reshape(part.num_rows, dim)
+        for row, j in enumerate(part.column("j").to_numpy()):
+            sums[j] += mat[row]
+            ns[j] += int(part.column("n")[row].as_py())
+        nz = ns > 0
+        new_c = cents.copy()
+        new_c[nz] = sums[nz] // ns[nz][:, None]  # floor division, exact
+        cents = new_c
+
+    def assign_out(t: pa.Table, cref) -> pa.Table:
+        c = cref if isinstance(cref, np.ndarray) else ray.get(cref)
+        q = _quantize_embeddings(_to_matrix(t.column("embedding")))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(assign(q, c).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign_out, fn_args=(ray.put(cents),), batch_format="pyarrow")

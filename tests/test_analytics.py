@@ -321,3 +321,72 @@ def test_decode_wav_roundtrip_int16_min():
                   "payload": pa.array([buf.getvalue()], pa.binary())})
     )
     assert out.column("peak").to_pylist() == [32768]
+
+
+def test_kmeans_clusters_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.corpus import kmeans_clusters
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF, 'embeddings.parquet')}')"
+    )
+    got = _norm(kmeans_clusters(SF).to_pandas())
+    want = _norm(
+        con.execute(
+            """
+        WITH q AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5)
+                        AS BIGINT) AS qv
+            FROM embeddings
+        ),
+        seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+                 FROM embeddings ORDER BY vec_id LIMIT 8),
+        c0 AS (SELECT s.j, q.d, q.qv AS cv FROM seed s JOIN q USING (vec_id)),
+        d1 AS (SELECT q.vec_id, c.j, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+               FROM q JOIN c0 c ON q.d = c.d GROUP BY q.vec_id, c.j),
+        a1 AS (SELECT vec_id, j FROM (
+                 SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist, j) AS rn FROM d1) WHERE rn = 1),
+        u1 AS (SELECT a.j, q.d,
+                      CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+               FROM a1 a JOIN q USING (vec_id) GROUP BY a.j, q.d),
+        c1 AS (SELECT c0.j, c0.d, COALESCE(u1.cv, c0.cv) AS cv
+               FROM c0 LEFT JOIN u1 ON c0.j = u1.j AND c0.d = u1.d),
+        d2 AS (SELECT q.vec_id, c.j, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+               FROM q JOIN c1 c ON q.d = c.d GROUP BY q.vec_id, c.j),
+        a2 AS (SELECT vec_id, j FROM (
+                 SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist, j) AS rn FROM d2) WHERE rn = 1)
+        SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM a2"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every cluster id is one of the k seeds and non-degenerate overall
+    assert set(got["cluster"]) <= set(range(8))
+    assert len(set(got["cluster"])) >= 2
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session, tmp_path):
+    """A far-outlier seed that captures no members must keep its centroid
+    (not collapse to zeros) — pinned via a table where seed 1 is isolated."""
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.pipelines.corpus import kmeans_clusters
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 0.05, size=(40, 8)).astype(np.float32)
+    base[1] += 100.0  # vec 1: far outlier, its own cluster
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(40, dtype=np.int32)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = kmeans_clusters(str(tmp_path), k=4, iters=3).to_pandas()
+    by_vec = dict(zip(out["vec_id"], out["cluster"]))
+    assert by_vec[1] == 1  # outlier stays alone in its seed cluster
+    assert (out["cluster"] == 1).sum() == 1
