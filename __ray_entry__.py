@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup pairs -> dedup GROUPS (connected components) -> filter
         "near_dup_components": C.near_dup_components,
         "near_dup_dedup_filter": C.near_dup_dedup_filter,
+        # the end-to-end cleaning composition (dedup + quality + language)
+        "corpus_clean": C.corpus_clean,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "simhash_signatures": C.simhash_signatures,
         # --- text analysis
@@ -108,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": R.local_supplier_volume,
         "events_props_extract": R.events_props_extract,
         "top_orders_per_priority": R.top_orders_per_priority,
+        # big-big LEFT ANTI join + two-level distinct aggregation
+        "customers_without_orders": R.customers_without_orders,
+        "events_user_distinct_types": R.events_user_distinct_types,
         # --- analytics (exact histogram quantiles / range join /
         #     deterministic grouped sampling / TF-IDF)
         "events_value_quantiles": A.events_value_quantiles,
@@ -901,6 +906,58 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp ON d.doc_id = comp.doc_id
             WHERE comp.doc_id IS NULL OR d.doc_id = comp.component
         """,
+        # The end-to-end cleaning composition: every leg reuses an
+        # already-proven oracle fragment (md5 exact dedup, the recursive-CTE
+        # near-dup components, the doc_quality ratio kernels, the langid
+        # marker vote) glued into one filter — identical float thresholds on
+        # identical IEEE divisions on both sides.
+        "corpus_clean": f"""
+            {cc_ctes},
+            exact_dups AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                    FROM documents
+                ) WHERE doc_id <> keeper
+            ),
+            qual AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                           / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                           AS digit_ratio,
+                       CAST(len(regexp_extract_all(text,
+                         '(?i)\\b(the|and|of|to|a|in|is|for|on|with|as|at|by|it|that|this|be|are|was|or)\\b'
+                       )) AS DOUBLE)
+                           / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0)
+                           AS stopword_ratio
+                FROM documents
+            ),
+            lt AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[一-鿿]') AS toks
+                FROM documents
+            ),
+            ls AS (
+                SELECT doc_id, {", ".join(f"{score[l]} AS s_{l}" for l in langs)}
+                FROM lt
+            ),
+            lang AS (
+                SELECT doc_id,
+                       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                            WHEN s_fr >= s_zh THEN 'fr'
+                            ELSE 'zh' END AS pred_lang
+                FROM ls
+            )
+            SELECT d.doc_id FROM documents d
+            JOIN qual q ON d.doc_id = q.doc_id
+            JOIN lang l ON d.doc_id = l.doc_id
+            LEFT JOIN comp ON d.doc_id = comp.doc_id
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_dups)
+              AND (comp.doc_id IS NULL OR d.doc_id = comp.component)
+              AND q.stopword_ratio >= 0.05 AND q.digit_ratio <= 0.30
+              AND l.pred_lang = 'en'
+        """,
         # Relational joins: floor-cents int sums (lineitem_agg convention);
         # the as-of oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
         # independent implementation of the same semantics.
@@ -957,6 +1014,18 @@ def oracle_sql() -> dict[str, str]:
                                     o_orderkey ASC) AS BIGINT) AS rank
                 FROM orders
             ) WHERE rank <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "events_user_distinct_types": """
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
         """,
         # Analytics: exact histogram quantiles (oracle = DuckDB's native
         # percentile_disc over the row-level values — the engine only ever

@@ -230,6 +230,10 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("band_join", lambda: _consume(AN.events_band_join(sf_dir)))
         timed("group_sample", lambda: _consume(AN.doc_group_sample(sf_dir)))
         timed("tfidf_top_terms", lambda: _consume(AN.doc_tfidf_top_terms(sf_dir)))
+        # end-to-end cleaning composition + iterative k-means + anti join
+        timed("corpus_clean", lambda: _consume(C.corpus_clean(sf_dir)))
+        timed("kmeans", lambda: _consume(C.kmeans_clusters(sf_dir)))
+        timed("anti_join", lambda: _consume(RJ.customers_without_orders(sf_dir)))
 
     headline_sec = timings["redact_sorted_write"]
     return {

@@ -111,12 +111,10 @@ def _collect(ds: rd.Dataset) -> Optional[pa.Table]:
     return pa.concat_tables(tbls) if tbls else None
 
 
-def dedup_filter(sf_dir: str) -> rd.Dataset:
-    """Exact-dedup FILTER: the documents table minus non-canonical
-    duplicates. Scale shape: the digest groupby emits only (digest, keeper)
-    rows; the DUPLICATE doc_id set (= rows - groups, O(dups) not O(corpus))
-    is broadcast and removed with a vectorized anti-join — never broadcast
-    the keeper set, which is corpus-sized at 100 TB."""
+def exact_dup_ids(sf_dir: str) -> pa.Array:
+    """Non-canonical exact-duplicate doc_ids (the DROP set for exact dedup):
+    O(dups), never O(corpus) — the broadcastable side by construction. The
+    digest pass streams the text; only (digest, doc_id) rows materialize."""
     import hashlib
 
     def digest(batch: pa.Table) -> pa.Table:
@@ -143,7 +141,7 @@ def dedup_filter(sf_dir: str) -> rd.Dataset:
         )
     )
     if hot_tbl is None or hot_tbl.num_rows == 0:
-        return docs
+        return pa.array([], type=pa.int64())
     hot_digests = hot_tbl.column("digest").combine_chunks()
 
     members = _collect(
@@ -159,9 +157,20 @@ def dedup_filter(sf_dir: str) -> rd.Dataset:
     ):
         by_digest.setdefault(dg, []).append(d)
     dups = sorted(d for ids in by_digest.values() for d in ids if d != min(ids))
-    dup_ids = pa.array(dups, type=pa.int64())
+    return pa.array(dups, type=pa.int64())
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+
+def dedup_filter(sf_dir: str) -> rd.Dataset:
+    """Exact-dedup FILTER: the documents table minus non-canonical
+    duplicates. Scale shape: the digest groupby emits only (digest, keeper)
+    rows; the DUPLICATE doc_id set (``exact_dup_ids``, O(dups) not
+    O(corpus)) is broadcast and removed with a vectorized anti-join — never
+    broadcast the keeper set, which is corpus-sized at 100 TB."""
+    dup_ids = exact_dup_ids(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    if len(dup_ids) == 0:
+        return docs
+    return docs.map_batches(
         _semi_join,
         fn_args=(ray.put(dup_ids), _doc_id_key),
         fn_kwargs={"invert": True},
@@ -1092,3 +1101,69 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 2) -> rd.Dataset:
         )
 
     return emb.map_batches(assign_out, fn_args=(ray.put(cents),), batch_format="pyarrow")
+
+
+class CorpusCleaner:
+    """Actor stage for ``corpus_clean``: one streaming pass that applies the
+    broadcast drop set (exact + near-dup non-canonicals) with a vectorized
+    anti-join, then quality gates (Arrow kernel ratios) and the marker
+    language vote (LangId tables built once per actor) to the survivors."""
+
+    def __init__(self, drop_ref, min_stopword_ratio: float, max_digit_ratio: float, lang: str):
+        self.drop = drop_ref if isinstance(drop_ref, pa.Array) else ray.get(drop_ref)
+        self.min_stop = min_stopword_ratio
+        self.max_digit = max_digit_ratio
+        self.lang = lang
+        self.langid = LangId()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.is_in(_doc_id_key(t), value_set=self.drop)))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        q = quality_scores(t)
+        keep = pc.and_(
+            pc.greater_equal(q.column("stopword_ratio"), self.min_stop),
+            pc.less_equal(q.column("digit_ratio"), self.max_digit),
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        pred = self.langid(t).column("pred_lang")
+        return pa.table(
+            {"doc_id": t.filter(pc.equal(pred, self.lang)).column("doc_id")}
+        )
+
+
+def corpus_clean(
+    sf_dir: str,
+    min_stopword_ratio: float = 0.05,
+    max_digit_ratio: float = 0.30,
+    lang: str = "en",
+) -> rd.Dataset:
+    """The end-to-end corpus-cleaning composition a training-data pipeline
+    actually runs: documents minus exact duplicates (keep min doc_id per
+    digest), minus near-dup component non-canonicals (MinHash+LSH →
+    connected components), minus low-quality docs (stopword ratio below /
+    digit ratio above threshold), minus non-target-language docs (marker
+    vote). Returns the kept doc_ids.
+
+    Scale shape: the two dedup precomputations each pull only O(dups) ids
+    to the driver; their UNION broadcasts once (``ray.put``); the corpus
+    then streams through ONE actor-pool pass that applies all four gates —
+    no extra sweep per filter, no shuffle at all in the filtering pass."""
+    exact_drop = set(exact_dup_ids(sf_dir).to_pylist())
+    labels = near_dup_components(sf_dir)
+    near_drop = {
+        int(d)
+        for d, c in zip(
+            labels.column("doc_id").to_pylist(), labels.column("component").to_pylist()
+        )
+        if d != c
+    }
+    drop = pa.array(sorted(exact_drop | near_drop), type=pa.int64())
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        CorpusCleaner,
+        fn_constructor_args=(ray.put(drop), min_stopword_ratio, max_digit_ratio, lang),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )

@@ -429,3 +429,103 @@ def events_asof_view(sf_dir: str) -> rd.Dataset:
         )
 
     return ev.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
+    """Big-big LEFT ANTI join: customers that never placed a ``priority``
+    order. The probe side is filtered at the source and reduced map-side to
+    its DISTINCT keys (per-batch np.unique partial, then a skinny groupby)
+    so the hash-partitioned ``Dataset.join`` exchange moves one int column
+    of distinct custkeys — never order rows; the anti semantics come from
+    ``left_outer`` + an IS NULL filter on a right-side marker (Ray's join
+    drops the right KEY column from the output). At 100 TB neither side
+    broadcasts (the distinct-buyer set is customer-table-sized), which is
+    exactly when this shuffle shape is the right one — contrast
+    ``dedup_filter``'s broadcast anti-join, correct there because its drop
+    set is O(dups)."""
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": pa.array(np.unique(t.column("o_custkey").to_numpy()), pa.int64())}
+        )
+
+    buyers = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .filter(expr=f"o_orderpriority == {priority!r}")
+        .map_batches(distinct_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(["o_custkey", "has_order"]),
+            batch_format="pyarrow",
+        )
+    )
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    num_partitions = max(default_concurrency(), 8)
+    joined = customer.join(
+        buyers,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("has_order"))).select(
+            ["c_custkey", "c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_user_distinct_types(sf_dir: str) -> rd.Dataset:
+    """Distinct-count aggregate: per user, the number of DISTINCT event
+    types and total events. Map-side partial collapses each batch to
+    (user, type, n) distinct rows — the classic two-level distinct
+    aggregation: shuffle 1 is bounded by |users| × |types| (types is a tiny
+    domain), shuffle 2 by |users|; event rows never cross the wire."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        ety = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        tcodes, tinv = np.unique(ety, return_inverse=True)
+        comp = uid.astype(np.int64) * np.int64(64) + tinv.astype(np.int64)
+        uniq, inv = np.unique(comp, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq // 64, pa.int64()),
+                "event_type": pa.array(tcodes[uniq % 64], pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_type = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        uid = t.column("user_id").to_numpy()
+        n = t.column("sum(n)").to_numpy()
+        uniq, inv = np.unique(uid, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n_types": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_events": pa.array(
+                    np.bincount(inv, weights=n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return per_type.groupby("user_id").map_groups(final, batch_format="pyarrow")

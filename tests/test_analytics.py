@@ -390,3 +390,83 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session, tmp_path):
     by_vec = dict(zip(out["vec_id"], out["cluster"]))
     assert by_vec[1] == 1  # outlier stays alone in its seed cluster
     assert (out["cluster"] == 1).sum() == 1
+
+
+def test_corpus_clean_equals_composed_gates(ray_session):
+    """corpus_clean == (documents - exact dups - near-dup non-canonicals)
+    filtered by the quality thresholds and the language vote — each leg
+    reconstructed from primitives that have their own SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.pipelines.corpus import (
+        corpus_clean,
+        doc_langid,
+        doc_quality,
+        exact_dup_ids,
+        near_dup_components,
+    )
+
+    got = set(corpus_clean(SF).to_pandas()["doc_id"])
+
+    all_ids = set(
+        pq.read_table(os.path.join(SF, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    drop = set(exact_dup_ids(SF).to_pylist())
+    labels = near_dup_components(SF)
+    drop |= {
+        int(d)
+        for d, c in zip(
+            labels.column("doc_id").to_pylist(), labels.column("component").to_pylist()
+        )
+        if d != c
+    }
+    q = doc_quality(SF).to_pandas().set_index("doc_id")
+    lang = doc_langid(SF).to_pandas().set_index("doc_id")
+    want = {
+        d
+        for d in all_ids - drop
+        if q.loc[d, "stopword_ratio"] >= 0.05
+        and q.loc[d, "digit_ratio"] <= 0.30
+        and lang.loc[d, "pred_lang"] == "en"
+    }
+    assert got == want
+    assert 0 < len(got) < len(all_ids)  # the gates actually fire
+
+
+def test_customers_without_orders_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.relational import customers_without_orders
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t + '.parquet')}')"
+        )
+    got = _norm(customers_without_orders(SF).to_pandas())
+    want = _norm(
+        con.execute(
+            """SELECT c_custkey, c_mktsegment FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # non-trivial on BOTH sides of the anti join
+    assert 0 < len(got) < con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+
+
+def test_events_user_distinct_types_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.relational import events_user_distinct_types
+
+    got = _norm(events_user_distinct_types(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
