@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # big-big LEFT ANTI join + two-level distinct aggregation
         "customers_without_orders": R.customers_without_orders,
         "events_user_distinct_types": R.events_user_distinct_types,
+        # bucketed window rank + correlated-subquery filter (exact
+        # integer cross-multiply, no float division)
+        "orders_rank_in_customer": R.orders_rank_in_customer,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
         # --- analytics (exact histogram quantiles / range join /
         #     deterministic grouped sampling / TF-IDF)
         "events_value_quantiles": A.events_value_quantiles,
@@ -120,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_stats": A.events_moving_stats,
         "doc_group_sample": A.doc_group_sample,
         "doc_tfidf_top_terms": A.doc_tfidf_top_terms,
+        # mode/argmax aggregate, distinct-set algebra, covariance partials
+        "user_top_event_type": A.user_top_event_type,
+        "event_type_user_overlap": A.event_type_user_overlap,
+        "lineitem_cov_stats": A.lineitem_cov_stats,
     }
 
 
@@ -1026,6 +1034,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id
+        """,
+        # Window rank: the engine ranks by floor-cents with the orderkey
+        # tie-break, so the oracle's ORDER BY must use the SAME cents key
+        # (two prices equal in cents but unequal as doubles would otherwise
+        # rank differently).
+        "orders_rank_in_customer": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY FLOOR(o_totalprice * 100) DESC, o_orderkey
+                   ) AS BIGINT) AS price_rank
+            FROM orders
+        """,
+        # Correlated subquery: strictly-above-average via the same integer
+        # cross-multiplication the engine uses (cents * n > sum_cents) —
+        # no AVG(), no float division on either side.
+        "orders_above_customer_avg": """
+            WITH s AS (
+                SELECT o_custkey AS k, COUNT(*) AS n,
+                       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sc
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders JOIN s ON o_custkey = s.k
+            WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) * n > sc
+        """,
+        # Mode/argmax: count DESC then lexicographic type — the engine's
+        # tie-break, spelled as a ROW_NUMBER window.
+        "user_top_event_type": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY user_id ORDER BY n DESC, event_type
+                       ) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n_top
+            FROM r WHERE rn = 1
+        """,
+        "event_type_user_overlap": """
+            WITH f AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY user_id
+            )
+            SELECT user_id,
+                   CASE WHEN a > 0 AND b > 0 THEN 'both'
+                        WHEN a > 0 THEN 'only_click'
+                        ELSE 'only_purchase' END AS overlap
+            FROM f
+        """,
+        # Covariance sufficient statistics: integer numerators only
+        # (quantities are integral, prices as floor-cents) — DuckDB sums in
+        # HUGEINT, cast back to BIGINT for the schema match.
+        "lineitem_cov_stats": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_y,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_xy
+            FROM lineitem GROUP BY l_returnflag
         """,
         # Analytics: exact histogram quantiles (oracle = DuckDB's native
         # percentile_disc over the row-level values — the engine only ever

@@ -103,9 +103,19 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     # 10x outlier for whichever query it hits. A second attempt almost never
     # hits the same stall, so min-of-2 is a cheap noise filter.
     query_reps = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "2")))
+    # GRAFT_BENCH_ONLY="minhash_pairs,corpus_clean" re-measures a subset in a
+    # fresh session without paying for the full ~12-min suite (the documented
+    # re-check protocol for queries that read slow inside a host-noise window).
+    only = {
+        q.strip()
+        for q in os.environ.get("GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
 
     def timed(name: str, fn):
         nonlocal n_turns
+        if only and name not in only:
+            return None
         best = None
         res = None
         for _ in range(query_reps):
@@ -138,7 +148,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     # the --scaling comparison sets GRAFT_BENCH_REPEATS=3.
     repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "1")))
     n_turns = timed("redact_sorted_write", headline)
-    for _ in range(repeats - 1):
+    for _ in range(repeats - 1 if "redact_sorted_write" in timings else 0):
         t0 = time.perf_counter()
         headline()
         timings["redact_sorted_write"] = min(
@@ -203,8 +213,9 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             df = t.to_pandas()
             return set(zip(df["query_id"], df["vec_id"]))
 
-        bf, ivf = _pairs(ann_tables["bf"]), _pairs(ann_tables["ivf"])
-        recall = round(len(bf & ivf) / len(bf), 4) if bf else None
+        if "bf" in ann_tables and "ivf" in ann_tables:
+            bf, ivf = _pairs(ann_tables["bf"]), _pairs(ann_tables["ivf"])
+            recall = round(len(bf & ivf) / len(bf), 4) if bf else None
         timed("doc_quality", lambda: _consume(C.doc_quality(sf_dir)))
         timed("events_window", lambda: _consume(C.events_tumbling_window(sf_dir)))
         timed("events_hopping", lambda: _consume(C.events_hopping_window(sf_dir)))
@@ -234,8 +245,12 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("corpus_clean", lambda: _consume(C.corpus_clean(sf_dir)))
         timed("kmeans", lambda: _consume(C.kmeans_clusters(sf_dir)))
         timed("anti_join", lambda: _consume(RJ.customers_without_orders(sf_dir)))
+        # bucketed window rank, correlated-subquery filter, mode aggregate
+        timed("window_rank", lambda: _consume(RJ.orders_rank_in_customer(sf_dir)))
+        timed("above_avg_filter", lambda: _consume(RJ.orders_above_customer_avg(sf_dir)))
+        timed("top_event_type", lambda: _consume(AN.user_top_event_type(sf_dir)))
 
-    headline_sec = timings["redact_sorted_write"]
+    headline_sec = timings.get("redact_sorted_write")
     return {
         "metric": "end-to-end redaction (detect+merge+mask+order-restore+parquet sink) wall sec",
         "value": headline_sec,

@@ -340,3 +340,180 @@ def events_moving_stats(sf_dir: str, w: int = 5) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(win, batch_format="pyarrow")
     )
+
+
+def user_top_event_type(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Mode / argmax aggregate: each user's most frequent event type, with
+    a deterministic tie-break (higher count wins, then lexicographically
+    smallest type — mirrored exactly in the SQL oracle's ROW_NUMBER order).
+
+    Scale shape: map-side partial counts collapse each batch to distinct
+    (user, type, n) rows tagged with a user-BUCKET (user mod n_buckets), so
+    the ONE shuffle is bounded by |users| × |types| partial rows into a
+    FIXED group count; each bucket then combines counts across batches AND
+    takes the per-user argmax in a single vectorized lexsort pass — never
+    one Python call per user, never a second exchange (the same
+    bucketed-window shape as ``orders_rank_in_customer``, here doing
+    combine + window in one map_groups)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        ety = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        tvals, tinv = np.unique(ety, return_inverse=True)
+        comp = uid.astype(np.int64) * np.int64(64) + tinv.astype(np.int64)
+        uniq, inv = np.unique(comp, return_inverse=True)
+        u = uniq // 64
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_type": pa.array(tvals[uniq % 64], pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "bucket": pa.array(u % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def top_of_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        uid = g.column("user_id").to_numpy()
+        n = g.column("n").to_numpy()
+        ety = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        # combine the per-batch partials: sum n over (user, type)
+        tvals, tcode = np.unique(ety, return_inverse=True)
+        comp = uid * np.int64(64) + tcode
+        uniq, inv = np.unique(comp, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        cu, ct = uniq // 64, uniq % 64
+        # argmax per user: count DESC, then type code ASC (codes of
+        # np.unique are in lexicographic order == the string tie-break)
+        order = np.lexsort((ct, -tot, cu))
+        us = cu[order]
+        first = np.r_[True, us[1:] != us[:-1]]
+        sel = order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(cu[sel], pa.int64()),
+                "top_type": pa.array(tvals[ct[sel]], pa.string()),
+                "n_top": pa.array(tot[sel], pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(top_of_bucket, batch_format="pyarrow")
+    )
+
+
+def event_type_user_overlap(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> rd.Dataset:
+    """Distinct-set algebra over user ids: classify every user that emitted
+    a ``type_a`` or ``type_b`` event as ``both`` (intersection),
+    ``only_<a>`` or ``only_<b>`` (the two set differences) — INTERSECT /
+    EXCEPT without materializing either side.
+
+    Scale shape: the source read is filtered to the two types, each batch
+    collapses map-side to distinct (user, saw_a, saw_b) flag rows, and the
+    only shuffle is a Max-aggregate over those flags — bounded by the
+    distinct-user count, two 0/1 int columns wide. The classification is a
+    vectorized case-select over the tiny aggregate."""
+    from ray.data.aggregate import Max as _Max
+
+    ev = _events(sf_dir, ["user_id", "event_type"]).filter(
+        expr=f"event_type == {type_a!r} or event_type == {type_b!r}"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        ety = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        a = np.zeros(len(uniq), dtype=np.int64)
+        b = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(a, inv, (ety == type_a).astype(np.int64))
+        np.maximum.at(b, inv, (ety == type_b).astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "saw_a": pa.array(a, pa.int64()),
+                "saw_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    flags = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Max("saw_a"), _Max("saw_b"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        a = t.column("max(saw_a)").to_numpy()
+        b = t.column("max(saw_b)").to_numpy()
+        cls = np.where(
+            (a > 0) & (b > 0), "both", np.where(a > 0, f"only_{type_a}", f"only_{type_b}")
+        ).astype(object)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "overlap": pa.array(cls, pa.string()),
+            }
+        )
+
+    return flags.map_batches(classify, batch_format="pyarrow")
+
+
+def lineitem_cov_stats(sf_dir: str) -> rd.Dataset:
+    """Distributive sufficient statistics for covariance/correlation of
+    (quantity, price) per return flag: n, Σx, Σy, Σxy — the exact integer
+    numerators from which cov = (Σxy − ΣxΣy/n)/n and Pearson r derive.
+    Emitting the integer partials (quantities are integral by construction,
+    prices as floor-cents) instead of the final float keeps the result
+    order-independent and bit-exact against the SQL oracle — the same
+    fixed-point discipline as ``lineitem_agg`` — and is what a multi-pass
+    pipeline would persist anyway (partials compose; floats don't).
+
+    Scale shape: one map-side pass folds each batch to |flags| rows of four
+    int columns; the only shuffle is that tiny partial table. Products
+    stay in int64: qty ≤ 50, cents < 2^27, 10^12-row groups ⇒ Σxy < 2^63."""
+    from ray.data.aggregate import Sum as _Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        cents = (
+            pc.cast(pc.floor(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+            .to_numpy()
+        )
+        uniq, inv = np.unique(flag, return_inverse=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq, pa.string()),
+                "n_rows": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sum_x": pa.array(np.bincount(inv, weights=qty).astype(np.int64), pa.int64()),
+                "sum_y": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+                "sum_xy": pa.array(
+                    np.bincount(inv, weights=qty * cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(_Sum("n_rows"), _Sum("sum_x"), _Sum("sum_y"), _Sum("sum_xy"))
+    )
+    return agg.map_batches(
+        lambda t: t
+        if t.num_columns == 0
+        else t.rename_columns(["l_returnflag", "n_rows", "sum_x", "sum_y", "sum_xy"]),
+        batch_format="pyarrow",
+    )

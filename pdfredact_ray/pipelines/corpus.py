@@ -123,6 +123,14 @@ def exact_dup_ids(sf_dir: str) -> pa.Array:
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = docs.map_batches(digest, batch_format="pyarrow").materialize()
+    # Coalesce skinny micro-blocks before the shuffle: the sort-based
+    # aggregate pays a fixed per-block × per-partition cost (measured 2.7×
+    # on this corpus: 64 blocks of ~80 rows → 4.8s, 8 right-sized blocks →
+    # 1.8s). Block count tracks the DATA (≥64k rows per block), so at
+    # 100 TB this leaves the digest table alone.
+    right_sized = max(8, pairs.count() // 65536 + 1)
+    if right_sized < pairs.num_blocks():
+        pairs = pairs.repartition(right_sized)
     # digests with >1 member (rare), then their non-min members: the driver
     # pulls O(dups) rows, never O(corpus) — same shape as MinHash's
     # hot-bucket fetch. The two filter passes below are one-shot vectorized
@@ -1103,35 +1111,39 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 2) -> rd.Dataset:
     return emb.map_batches(assign_out, fn_args=(ray.put(cents),), batch_format="pyarrow")
 
 
-class CorpusCleaner:
-    """Actor stage for ``corpus_clean``: one streaming pass that applies the
-    broadcast drop set (exact + near-dup non-canonicals) with a vectorized
-    anti-join, then quality gates (Arrow kernel ratios) and the marker
-    language vote (LangId tables built once per actor) to the survivors."""
+_CLEAN_LANGID: Optional[LangId] = None
 
-    def __init__(self, drop_ref, min_stopword_ratio: float, max_digit_ratio: float, lang: str):
-        self.drop = drop_ref if isinstance(drop_ref, pa.Array) else ray.get(drop_ref)
-        self.min_stop = min_stopword_ratio
-        self.max_digit = max_digit_ratio
-        self.lang = lang
-        self.langid = LangId()
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(pc.is_in(_doc_id_key(t), value_set=self.drop)))
-        if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        q = quality_scores(t)
-        keep = pc.and_(
-            pc.greater_equal(q.column("stopword_ratio"), self.min_stop),
-            pc.less_equal(q.column("digit_ratio"), self.max_digit),
-        )
-        t = t.filter(keep)
-        if t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        pred = self.langid(t).column("pred_lang")
-        return pa.table(
-            {"doc_id": t.filter(pc.equal(pred, self.lang)).column("doc_id")}
-        )
+def _clean_batch(
+    t: pa.Table, drop_ref, min_stop: float, max_digit: float, lang: str
+) -> pa.Table:
+    """Task-based stage for ``corpus_clean``: one streaming pass that applies
+    the broadcast drop set (exact + near-dup non-canonicals) with a
+    vectorized anti-join, then quality gates (Arrow kernel ratios) and the
+    marker language vote to the survivors.
+
+    A plain task, not a fixed actor pool: the only per-task setup is one
+    zero-copy object-store read of the drop set plus the tiny LangId marker
+    tables (cached per worker process) — the round-2 lesson that pool
+    startup (seconds for a 24-actor pool) dwarfs trivial setup on one-shot
+    filter stages."""
+    global _CLEAN_LANGID
+    if _CLEAN_LANGID is None:
+        _CLEAN_LANGID = LangId()
+    drop = drop_ref if isinstance(drop_ref, pa.Array) else ray.get(drop_ref)
+    t = t.filter(pc.invert(pc.is_in(_doc_id_key(t), value_set=drop)))
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    q = quality_scores(t)
+    keep = pc.and_(
+        pc.greater_equal(q.column("stopword_ratio"), min_stop),
+        pc.less_equal(q.column("digit_ratio"), max_digit),
+    )
+    t = t.filter(keep)
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    pred = _CLEAN_LANGID(t).column("pred_lang")
+    return pa.table({"doc_id": t.filter(pc.equal(pred, lang)).column("doc_id")})
 
 
 def corpus_clean(
@@ -1162,8 +1174,7 @@ def corpus_clean(
     }
     drop = pa.array(sorted(exact_drop | near_drop), type=pa.int64())
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        CorpusCleaner,
-        fn_constructor_args=(ray.put(drop), min_stopword_ratio, max_digit_ratio, lang),
+        _clean_batch,
+        fn_args=(ray.put(drop), min_stopword_ratio, max_digit_ratio, lang),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )

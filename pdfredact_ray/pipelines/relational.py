@@ -529,3 +529,152 @@ def events_user_distinct_types(sf_dir: str) -> rd.Dataset:
         )
 
     return per_type.groupby("user_id").map_groups(final, batch_format="pyarrow")
+
+
+def orders_rank_in_customer(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Window function ROW_NUMBER() OVER (PARTITION BY customer ORDER BY
+    price DESC, orderkey): every order annotated with its price rank within
+    its customer. Ranks by floor-cents (the repo's money convention) with
+    the orderkey tie-break, so the rank is fully deterministic and the SQL
+    oracle reproduces it bit-exactly.
+
+    Scale shape: partitioning by the window key (custkey) directly would
+    make one ``map_groups`` call per customer — millions of tiny Python
+    invocations. Instead each row is assigned a BUCKET (custkey mod
+    n_buckets); ``groupby(bucket)`` co-locates whole customers while
+    keeping the group count fixed at n_buckets, and one vectorized
+    ``np.lexsort`` per bucket ranks every customer in it at C speed. The
+    shuffle moves (key, cents, bucket) int columns only; n_buckets scales
+    with the cluster, not the data. The same bucketed-window shape serves
+    any per-entity rank/cume_dist at 100 TB (entity cardinality never
+    materializes as group count)."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "total_cents": _floor_cents(t.column("o_totalprice")),
+                "bucket": pa.array(cust % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        cust = g.column("o_custkey").to_numpy()
+        cents = g.column("total_cents").to_numpy()
+        okey = g.column("o_orderkey").to_numpy()
+        order = np.lexsort((okey, -cents, cust))
+        cs, ks, vs = cust[order], okey[order], cents[order]
+        # rank = position within each customer's run of the sorted bucket
+        new_run = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(cs), dtype=np.int64) - starts[run_id] + 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ks, pa.int64()),
+                "o_custkey": pa.array(cs, pa.int64()),
+                "total_cents": pa.array(vs, pa.int64()),
+                "price_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+def orders_above_customer_avg(sf_dir: str) -> rd.Dataset:
+    """Correlated-subquery shape: orders strictly above their own
+    customer's average order value. Two passes, zero float arithmetic:
+
+    1. map-side partial (custkey, n, sum_cents) per batch → skinny groupby
+       sum — the only shuffle, bounded by |customers|, two int columns.
+    2. the per-customer stats broadcast once (``ray.put``) and orders
+       stream through a task-based filter; "above average" is evaluated by
+       integer cross-multiplication ``cents × n > sum_cents`` — exactly
+       equivalent to ``cents > sum/n`` with no division, no float, no
+       rounding question for the oracle to disagree on.
+
+    The broadcast side is O(customers): fine while the per-entity stat
+    table fits the object store (the usual case — it is the DIM-side
+    cardinality). Past that, flip pass 2 to the hash-partitioned join of
+    ``revenue_by_priority`` — the predicate itself is unchanged."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy()
+        cents = _floor_cents(t.column("o_totalprice")).to_numpy()
+        uniq, inv = np.unique(cust, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sum_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # The per-batch partials are already O(customers) — the exact size of the
+    # broadcast we build next — so the final combine happens driver-side in
+    # one vectorized pass instead of a Ray aggregate: the sort-based shuffle's
+    # fixed cost (boundary sampling + 64×64 micro-blocks) dwarfs this data.
+    # When |customers| outgrows the driver, the whole stats side flips to the
+    # hash-partitioned join path anyway (see docstring).
+    parts = [
+        t
+        for t in ray.get(
+            orders.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t.schema)
+    ]
+    if parts:
+        pt = pa.concat_tables(parts)
+        keys = pt.column("o_custkey").to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        # int64 accumulation (np.add.at), not bincount's float64 weights:
+        # keeps the driver combine exact at any magnitude
+        n = np.zeros(len(uniq), np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, pt.column("n").to_numpy())
+        np.add.at(s, inv, pt.column("sum_cents").to_numpy())
+        lookup = {"keys": uniq, "n": n, "sum": s}
+    else:
+        lookup = {
+            "keys": np.empty(0, np.int64),
+            "n": np.empty(0, np.int64),
+            "sum": np.empty(0, np.int64),
+        }
+    ref = ray.put(lookup)
+
+    def above(t: pa.Table, r) -> pa.Table:
+        d = r if isinstance(r, dict) else ray.get(r)
+        cust = t.column("o_custkey").to_numpy()
+        cents = _floor_cents(t.column("o_totalprice")).to_numpy()
+        pos = np.searchsorted(d["keys"], cust)
+        if len(d["keys"]) == 0 or not np.array_equal(d["keys"][pos], cust):
+            raise ValueError("customer stats missing for some orders")
+        keep = cents * d["n"][pos] > d["sum"][pos]
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": kept.column("o_orderkey"),
+                "o_custkey": kept.column("o_custkey"),
+                "total_cents": _floor_cents(kept.column("o_totalprice")),
+            }
+        )
+
+    return orders.map_batches(above, fn_args=(ref,), batch_format="pyarrow")

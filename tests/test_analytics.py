@@ -470,3 +470,133 @@ def test_events_user_distinct_types_matches_duckdb(ray_session):
         .df()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_user_top_event_type_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import user_top_event_type
+
+    got = _norm(user_top_event_type(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (
+                        PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+            FROM c
+        )
+        SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n_top
+        FROM r WHERE rn = 1"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_user_top_event_type_tie_breaks_lexicographic(ray_session, tmp_path):
+    from pdfredact_ray.pipelines.analytics import user_top_event_type
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            # user 1: 'view' x2 ties 'click' x2 -> 'click' wins (lexicographic)
+            "event_type": pa.array(["view", "click", "view", "click", "zzz"]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "events.parquet"))
+    got = user_top_event_type(sf).to_pandas().set_index("user_id")
+    assert got.loc[1, "top_type"] == "click" and got.loc[1, "n_top"] == 2
+    assert got.loc[2, "top_type"] == "zzz"
+
+
+def test_event_type_user_overlap_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import event_type_user_overlap
+
+    got = _norm(event_type_user_overlap(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH f AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN a > 0 AND b > 0 THEN 'both'
+                    WHEN a > 0 THEN 'only_click'
+                    ELSE 'only_purchase' END AS overlap
+        FROM f"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_event_type_user_overlap_three_classes(ray_session, tmp_path):
+    """Synthetic corpus where the three classes all occur (at sf0.001 every
+    user is dense enough to hit 'both'), plus a user with NEITHER type who
+    must not appear at all."""
+    from pdfredact_ray.pipelines.analytics import event_type_user_overlap
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["click", "purchase", "click", "purchase", "view"]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "events.parquet"))
+    got = event_type_user_overlap(sf).to_pandas().set_index("user_id")
+    assert got.loc[1, "overlap"] == "both"
+    assert got.loc[2, "overlap"] == "only_click"
+    assert got.loc[3, "overlap"] == "only_purchase"
+    assert 4 not in got.index
+
+
+def test_lineitem_cov_stats_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import lineitem_cov_stats
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{os.path.join(SF, 'lineitem.parquet')}')"
+    )
+    got = _norm(lineitem_cov_stats(SF).to_pandas())
+    want = _norm(
+        con.execute(
+            """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_y,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_xy
+        FROM lineitem GROUP BY l_returnflag"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the partials must reconstruct DuckDB's own float covariance
+    eng = got.set_index("l_returnflag")
+    ref = con.execute(
+        """
+        SELECT l_returnflag, covar_pop(CAST(l_quantity AS BIGINT),
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cov
+        FROM lineitem GROUP BY l_returnflag"""
+    ).df().set_index("l_returnflag")
+    for flag in eng.index:
+        n, sx, sy, sxy = (
+            eng.loc[flag, "n_rows"],
+            eng.loc[flag, "sum_x"],
+            eng.loc[flag, "sum_y"],
+            eng.loc[flag, "sum_xy"],
+        )
+        cov = (sxy - sx * sy / n) / n
+        assert cov == pytest.approx(ref.loc[flag, "cov"], rel=1e-12)

@@ -251,3 +251,87 @@ def test_orders_by_segment_dangling_fk_fails_loudly(ray_session, tmp_path):
     )
     with pytest.raises(ray.exceptions.RayTaskError):
         orders_by_segment(str(d)).materialize()
+
+
+def test_orders_rank_in_customer_matches_window(ray_session):
+    from pdfredact_ray.pipelines.relational import orders_rank_in_customer
+
+    got = _norm(orders_rank_in_customer(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY FLOOR(o_totalprice * 100) DESC, o_orderkey
+               ) AS BIGINT) AS price_rank
+        FROM orders"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_orders_rank_ties_and_bucket_sharing(ray_session, tmp_path):
+    """Two customers that land in the SAME bucket (keys 7 and 7+64), with
+    exact cent ties inside one customer: ranks must restart per customer
+    and break ties by orderkey ascending."""
+    from pdfredact_ray.pipelines.relational import orders_rank_in_customer
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 10, 11], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 71, 71], pa.int64()),
+            # orders 1 and 3 tie at 5.00 -> ranks 1, 2 by orderkey
+            "o_totalprice": pa.array([5.0, 1.0, 5.0, 2.0, 9.0]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "orders.parquet"))
+    got = orders_rank_in_customer(sf).to_pandas().set_index("o_orderkey")
+    assert got.loc[1, "price_rank"] == 1 and got.loc[3, "price_rank"] == 2
+    assert got.loc[2, "price_rank"] == 3
+    assert got.loc[11, "price_rank"] == 1 and got.loc[10, "price_rank"] == 2
+
+
+def test_orders_above_customer_avg_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.relational import orders_above_customer_avg
+
+    got = _norm(orders_above_customer_avg(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        WITH s AS (
+            SELECT o_custkey AS k, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sc
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders JOIN s ON o_custkey = s.k
+        WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) * n > sc"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_orders_above_avg_strict_excludes_single_order_customer(ray_session, tmp_path):
+    """A single-order customer equals its own average exactly — the STRICT
+    > must exclude it; a two-order customer keeps only the higher order."""
+    from pdfredact_ray.pipelines.relational import orders_above_customer_avg
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([5, 9, 9], pa.int64()),
+            "o_totalprice": pa.array([4.0, 1.0, 3.0]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "orders.parquet"))
+    got = orders_above_customer_avg(sf).to_pandas()
+    assert sorted(got["o_orderkey"]) == [3]
