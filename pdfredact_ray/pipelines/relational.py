@@ -8,7 +8,7 @@
   shape for any fact ⋈ dim at scale — never a shuffle join against a
   broadcastable side.
 - ``revenue_by_priority`` — BIG-BIG shuffle join: lineitem is pre-aggregated
-  per orderkey inside ``map_batches`` + a skinny ``groupby().aggregate``
+  per orderkey inside ``map_batches`` + a bucketed vectorized combine
   (combiner BEFORE the join, so only (orderkey, revenue_cents) int rows move
   in the all-to-all), then a hash-partitioned ``Dataset.join`` with orders,
   then a second map-side partial + tiny groupby by priority. At 100 TB both
@@ -94,12 +94,23 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
     )
 
 
-def revenue_by_priority(sf_dir: str) -> rd.Dataset:
+def revenue_by_priority(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Big-big join with a combiner on the heavy side: per-orderkey revenue
-    floor-cents (map-side partial + skinny groupby) ⋈ orders on orderkey
-    (hash-partitioned ``Dataset.join``), then revenue + order count per
-    o_orderpriority. Revenue = extendedprice × (1 − discount), floored to
-    cents per row BEFORE summing — order-independent and oracle-exact."""
+    floor-cents ⋈ orders on orderkey (hash-partitioned ``Dataset.join``),
+    then revenue + order count per o_orderpriority. Revenue =
+    extendedprice × (1 − discount), floored to cents per row BEFORE
+    summing — order-independent and oracle-exact.
+
+    The pre-join combine is map-side partials + a BUCKET groupby (orderkey
+    mod n_buckets, one vectorized unique+add.at per bucket) rather than
+    ``groupby(l_orderkey)``: Ray's sort-based aggregate keyed on millions
+    of distinct orderkeys paid 3× the bucket shape's cost at sf0.1 (8.6s
+    vs 2.6s) for the identical (orderkey, cents) output. Bucket count is a
+    cluster dial, not a data dial — each bucket combines rows/n_buckets
+    partials vectorized. Join partition count is likewise measured: at
+    this pre-reduced size 8 partitions beat 24 (2.6s vs 7.3s — fixed
+    per-partition cost dominates skinny data); the 16M-row sweep in
+    BASELINE.md shows partitions ≈ cores winning once data dominates."""
 
     def li_partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -118,6 +129,22 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
                 "revenue_cents": pa.array(
                     np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
                 ),
+                "bucket": pa.array(uniq % np.int64(n_buckets), type=pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        k = g.column("l_orderkey").to_numpy()
+        v = g.column("revenue_cents").to_numpy()
+        uniq, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, v)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "revenue_cents": pa.array(tot, pa.int64()),
             }
         )
 
@@ -127,17 +154,13 @@ def revenue_by_priority(sf_dir: str) -> rd.Dataset:
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         )
         .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents"))
-        .map_batches(
-            lambda t: t.rename_columns(["l_orderkey", "revenue_cents"]),
-            batch_format="pyarrow",
-        )
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
-    num_partitions = max(default_concurrency(), 8)
+    num_partitions = max(8, default_concurrency() // 3)
     joined = li.join(
         orders,
         join_type="inner",
@@ -263,7 +286,9 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     )
-    num_partitions = max(default_concurrency(), 8)
+    # measured at the pre-reduced join sizes: 8 partitions beat 24 (fixed
+    # per-partition cost dominates skinny int data); grows with cores
+    num_partitions = max(8, default_concurrency() // 3)
     j1 = li.join(
         orders,
         join_type="inner",
@@ -466,7 +491,9 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
     customer = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    num_partitions = max(default_concurrency(), 8)
+    # measured at the pre-reduced join sizes: 8 partitions beat 24 (fixed
+    # per-partition cost dominates skinny int data); grows with cores
+    num_partitions = max(8, default_concurrency() // 3)
     joined = customer.join(
         buyers,
         join_type="left_outer",
