@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": A.user_top_event_type,
         "event_type_user_overlap": A.event_type_user_overlap,
         "lineitem_cov_stats": A.lineitem_cov_stats,
+        # long -> wide pivot (map-side reshape, bucketed combine)
+        "events_pivot_counts": A.events_pivot_counts,
     }
 
 
@@ -1092,6 +1094,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a > 0 THEN 'only_click'
                         ELSE 'only_purchase' END AS overlap
             FROM f
+        """,
+        # PIVOT: fixed column-per-type schema, FILTER aggregates
+        "events_pivot_counts": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id
         """,
         # Covariance sufficient statistics: integer numerators only
         # (quantities are integral, prices as floor-cents) — DuckDB sums in

@@ -249,6 +249,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("window_rank", lambda: _consume(RJ.orders_rank_in_customer(sf_dir)))
         timed("above_avg_filter", lambda: _consume(RJ.orders_above_customer_avg(sf_dir)))
         timed("top_event_type", lambda: _consume(AN.user_top_event_type(sf_dir)))
+        timed("pivot_counts", lambda: _consume(AN.events_pivot_counts(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

@@ -104,22 +104,21 @@ def events_value_quantiles(sf_dir: str, ps: tuple = QUANTILE_PS) -> rd.Dataset:
             }
         )
 
-    hist = (
-        _events(sf_dir, ["event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "cents"])
-        .aggregate(Sum("n"))
-        .map_batches(
-            lambda t: t if t.num_columns == 0 else t.rename_columns(["event_type", "cents", "n"]),
-            batch_format="pyarrow",
-        )
+    # ONE shuffle: the per-batch histogram partials go straight to the
+    # per-type group (5 groups) and duplicate cents merge inside the
+    # quantile scan — group size is bounded by value cardinality × batches,
+    # and the former (type, cents) sort-aggregate (high key count, fixed
+    # micro-block cost) disappears.
+    hist = _events(sf_dir, ["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
     )
 
     def quantiles(g: pa.Table) -> pa.Table:
-        cents = g.column("cents").to_numpy()
-        n = g.column("n").to_numpy()
-        order = np.argsort(cents, kind="stable")
-        cents, n = cents[order], n[order]
+        raw_c = g.column("cents").to_numpy()
+        raw_n = g.column("n").to_numpy()
+        cents, inv = np.unique(raw_c, return_inverse=True)
+        n = np.zeros(len(cents), np.int64)
+        np.add.at(n, inv, raw_n)
         cum = np.cumsum(n)
         total = int(cum[-1])
         rows_p, rows_v = [], []
@@ -273,16 +272,24 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
         )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    df_tbl = (
-        docs.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df"))
-    )
-    blocks = [t for t in ray.get(df_tbl.to_arrow_refs()) if t.num_columns]
+    # The df histogram is collected driver-side for the broadcast REGARDLESS,
+    # so the per-batch partials combine during collection (one vectorized
+    # concat + unique/add.at) instead of paying a Ray sort-aggregate whose
+    # fixed micro-block cost dwarfs this vocabulary-sized table. The scale
+    # bound is unchanged: the driver holds O(vocabulary) either way.
+    blocks = [
+        t
+        for t in ray.get(
+            docs.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns
+    ]
     vocab = pa.concat_tables(blocks)
-    df_map = dict(
-        zip(vocab.column("term").to_pylist(), vocab.column("sum(df)").to_pylist())
-    )
+    terms = np.asarray(vocab.column("term").to_pylist(), dtype=object)
+    uniq, inv = np.unique(terms, return_inverse=True)
+    dfs = np.zeros(len(uniq), np.int64)
+    np.add.at(dfs, inv, vocab.column("df").to_numpy())
+    df_map = dict(zip(uniq.tolist(), dfs.tolist()))
     n_docs = docs.count()
     df_ref = ray.put(df_map)
     return docs.map_batches(
@@ -516,4 +523,60 @@ def lineitem_cov_stats(sf_dir: str) -> rd.Dataset:
         if t.num_columns == 0
         else t.rename_columns(["l_returnflag", "n_rows", "sum_x", "sum_y", "sum_xy"]),
         batch_format="pyarrow",
+    )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_counts(sf_dir: str, types: tuple = PIVOT_TYPES, n_buckets: int = 64) -> rd.Dataset:
+    """PIVOT: one row per user, one count column per event type plus the
+    total — the long→wide reshape every feature-engineering pipeline runs.
+    The output schema is fixed by the ``types`` parameter (schema stability
+    is non-negotiable for a Dataset); an event type outside it fails loudly
+    rather than silently dropping rows.
+
+    Scale shape: the pivot happens MAP-SIDE — each batch collapses to
+    |users-in-batch| wide rows (one int column per type), so the shuffle
+    is bounded by |users| × |types| ints and the single exchange is the
+    bucketed combine (fixed group count, vectorized add.at per column).
+    A naive long-form groupby((user, type)) would shuffle the same data in
+    skinny form but pay the high-cardinality sort-aggregate and a second
+    reshape pass."""
+    idx = {t: i for i, t in enumerate(types)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        ety = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        codes = np.array([idx.get(e, -1) for e in ety], dtype=np.int64)
+        if (codes < 0).any():
+            bad = sorted(set(ety[codes < 0]))
+            raise ValueError(f"event types outside the pivot schema: {bad}")
+        uniq, inv = np.unique(uid, return_inverse=True)
+        counts = np.zeros((len(uniq), len(types)), np.int64)
+        np.add.at(counts, (inv, codes), 1)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for i, name in enumerate(types):
+            cols[f"n_{name}"] = pa.array(counts[:, i], pa.int64())
+        cols["n_total"] = pa.array(counts.sum(axis=1), pa.int64())
+        cols["bucket"] = pa.array(uniq % np.int64(n_buckets), pa.int64())
+        return pa.table(cols)
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        uid = g.column("user_id").to_numpy()
+        uniq, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for name in [f"n_{t}" for t in types] + ["n_total"]:
+            tot = np.zeros(len(uniq), np.int64)
+            np.add.at(tot, inv, g.column(name).to_numpy())
+            cols[name] = pa.array(tot, pa.int64())
+        return pa.table(cols)
+
+    return (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )

@@ -53,20 +53,47 @@ def _docs(sf_dir: str, columns: Optional[Sequence[str]] = None) -> rd.Dataset:
 
 # --------------------------------------------------------------------- dedup
 
-def dedup_exact(sf_dir: str) -> rd.Dataset:
+def dedup_exact(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Exact dedup: md5 digest inside map_batches (only (digest, doc_id)
-    rows ever shuffle — never the text bodies), then groupby(digest) keeps
-    the min doc_id. At 100 TB the digest shuffle is ~64B/row."""
+    rows ever shuffle — never the text bodies), then keep the min doc_id
+    per digest via a digest-bucket groupby (hash prefix mod n_buckets) with
+    a vectorized per-bucket min — a fixed group count instead of a
+    sort-aggregate keyed on O(corpus) digest strings. At 100 TB the digest
+    shuffle is ~64B/row either way; the bucket shape only changes the
+    reduce-side key count."""
     import hashlib
 
     def digest(batch: pa.Table) -> pa.Table:
         d = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"digest": pa.array(d, pa.string()), "doc_id": batch.column("doc_id")})
+        b = [int(h[:8], 16) % n_buckets for h in d]
+        return pa.table(
+            {
+                "digest": pa.array(d, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(digest, batch_format="pyarrow")
-    kept = ds.groupby("digest").min("doc_id")
-    return kept.map_batches(
-        lambda t: t.rename_columns(["digest", "doc_id"]), batch_format="pyarrow"
+    def min_per_digest(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        dg = np.asarray(g.column("digest").to_pylist(), dtype=object)
+        did = g.column("doc_id").to_numpy()
+        order = np.lexsort((did, dg))
+        ds_, ids_ = dg[order], did[order]
+        first = np.r_[True, ds_[1:] != ds_[:-1]]
+        return pa.table(
+            {
+                "digest": pa.array(ds_[first], pa.string()),
+                "doc_id": pa.array(ids_[first], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(min_per_digest, batch_format="pyarrow")
     )
 
 
@@ -229,19 +256,26 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
             }
         )
 
-    agg = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .sum("n")
+    # the vocabulary histogram lands on the driver for top-k REGARDLESS, so
+    # the partials combine during collection (vectorized unique/add.at)
+    # instead of a Ray sort-aggregate whose fixed micro-block cost dwarfs
+    # the vocabulary-sized table; driver memory bound is O(vocab) either way
+    parts = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                _docs(sf_dir, ["doc_id", "text"])
+                .map_batches(partial_counts, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if len(t.schema)
+        ]
     )
-    tbl = pa.concat_tables(
-        [t for t in ray.get(agg.to_arrow_refs()) if len(t.schema)]
-    ).rename_columns(["token", "n"])
-    order = sorted(
-        zip(tbl.column("n").to_pylist(), tbl.column("token").to_pylist()),
-        key=lambda x: (-x[0], x[1]),
-    )[:k]
+    toks = np.asarray(parts.column("token").to_pylist(), dtype=object)
+    uniq, inv = np.unique(toks, return_inverse=True)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, inv, parts.column("n").to_numpy())
+    order = sorted(zip(tot.tolist(), uniq.tolist()), key=lambda x: (-x[0], x[1]))[:k]
     return pa.table(
         {
             "token": pa.array([t for _, t in order], pa.string()),
@@ -803,11 +837,83 @@ def multimodal_audio(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------------- events
 
+def _uw_runs(uid: np.ndarray, win: np.ndarray):
+    """Sorted run detection over (user, window) pairs: returns (order,
+    first-of-run mask, run ids) — the vectorized substitute for a 2-key
+    np.unique (the pair doesn't pack into one int64: window epochs use the
+    full range)."""
+    order = np.lexsort((win, uid))
+    u, w = uid[order], win[order]
+    new = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+    return order, new, np.cumsum(new) - 1
+
+
+def _window_agg(keyed: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Shared (user, window) aggregate: map-side partial combine collapses
+    each batch to distinct (user, window, n, cents) rows tagged with a hash
+    bucket, then ONE ``groupby(bucket)`` with a vectorized per-bucket final
+    combine. Replaces ``groupby([user, window]).aggregate(...)``: Ray's
+    sort-based aggregate pays a fixed micro-block cost that dwarfs these
+    skinny partials, and its key count here is |users|×|windows| versus the
+    fixed n_buckets groups of the bucket shape (same measured 3× as the
+    revenue join combine). Input: (user_id, window_start, cents) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        win = t.column("window_start").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = t.column("cents").to_numpy()
+        order, new, gid = _uw_runs(uid, win)
+        n = np.bincount(gid).astype(np.int64)
+        s = np.zeros(len(n), np.int64)
+        np.add.at(s, gid, cents[order])
+        sel = order[new]
+        u_sel, w_sel = uid[sel], win[sel]
+        bucket = (
+            u_sel.astype(np.uint64) * np.uint64(2654435761) + w_sel.astype(np.uint64)
+        ) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "user_id": pa.array(u_sel, pa.int64()),
+                "window_start": pa.array(w_sel, pa.timestamp("us")),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        uid = g.column("user_id").to_numpy()
+        win = g.column("window_start").to_numpy().astype("datetime64[us]").astype(np.int64)
+        order, new, gid = _uw_runs(uid, win)
+        n = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+        s = np.zeros_like(n)
+        np.add.at(n, gid, g.column("n_events").to_numpy()[order])
+        np.add.at(s, gid, g.column("sum_cents").to_numpy()[order])
+        sel = order[new]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "window_start": pa.array(win[sel], pa.timestamp("us")),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        keyed.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
 def events_tumbling_window(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per user: vectorized window-key derivation in
-    map_batches, then groupby aggregate. Money sums use floor(value*100)
-    int64 cents so the aggregate is order-independent (exact under any
-    shuffle/combine order — float sums are not)."""
+    map_batches, then the shared bucketed (user, window) combine
+    (``_window_agg``). Money sums use floor(value*100) int64 cents so the
+    aggregate is order-independent (exact under any shuffle/combine order —
+    float sums are not)."""
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -816,13 +922,7 @@ def events_tumbling_window(sf_dir: str) -> rd.Dataset:
         cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)), pa.int64())
         return pa.table({"user_id": batch.column("user_id"), "window_start": win, "cents": cents})
 
-    agg = ev.map_batches(keys, batch_format="pyarrow").groupby(["user_id", "window_start"]).aggregate(
-        Count(), Sum("cents")
-    )
-    return agg.map_batches(
-        lambda t: t.rename_columns(["user_id", "window_start", "n_events", "sum_cents"]),
-        batch_format="pyarrow",
-    )
+    return _window_agg(ev.map_batches(keys, batch_format="pyarrow"))
 
 
 def sessionize(ev: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
@@ -889,8 +989,9 @@ def events_hopping_window(sf_dir: str) -> rd.Dataset:
     """Hopping window (1h length, 30min hop): each event replicates into
     the 2 windows covering it INSIDE map_batches (vectorized key
     derivation + table concat — the flat-map stays on the map side, only
-    (user, window, cents) rows shuffle), then one groupby aggregate.
-    Money as floor-cents int64 for order-independent exactness."""
+    distinct (user, window, n, cents) partials shuffle), then the shared
+    bucketed combine (``_window_agg``). Money as floor-cents int64 for
+    order-independent exactness."""
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
     hop_us = 30 * 60 * 1_000_000
 
@@ -909,15 +1010,7 @@ def events_hopping_window(sf_dir: str) -> rd.Dataset:
         )
         return pa.concat_tables([one, two])
 
-    agg = (
-        ev.map_batches(keys, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(), Sum("cents"))
-    )
-    return agg.map_batches(
-        lambda t: t.rename_columns(["user_id", "window_start", "n_events", "sum_cents"]),
-        batch_format="pyarrow",
-    )
+    return _window_agg(ev.map_batches(keys, batch_format="pyarrow"))
 
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:

@@ -509,12 +509,17 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
     )
 
 
-def events_user_distinct_types(sf_dir: str) -> rd.Dataset:
+def events_user_distinct_types(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Distinct-count aggregate: per user, the number of DISTINCT event
     types and total events. Map-side partial collapses each batch to
-    (user, type, n) distinct rows — the classic two-level distinct
-    aggregation: shuffle 1 is bounded by |users| × |types| (types is a tiny
-    domain), shuffle 2 by |users|; event rows never cross the wire."""
+    (user, type, n) distinct rows tagged with a user-bucket, so the ONE
+    shuffle is bounded by |users| × |types| partial rows (types is a tiny
+    domain) into a FIXED group count; each bucket combines the per-batch
+    partials AND computes the per-user distinct/total counts in a single
+    vectorized pass — event rows never cross the wire, and there is no
+    second exchange (previously a 2-key sort-aggregate + a per-user
+    map_groups; the bucketed fuse is the same shape as
+    ``analytics.user_top_event_type``)."""
 
     def partial(t: pa.Table) -> pa.Table:
         uid = t.column("user_id").to_numpy()
@@ -522,40 +527,48 @@ def events_user_distinct_types(sf_dir: str) -> rd.Dataset:
         tcodes, tinv = np.unique(ety, return_inverse=True)
         comp = uid.astype(np.int64) * np.int64(64) + tinv.astype(np.int64)
         uniq, inv = np.unique(comp, return_inverse=True)
+        u = uniq // 64
         return pa.table(
             {
-                "user_id": pa.array(uniq // 64, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
                 "event_type": pa.array(tcodes[uniq % 64], pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "bucket": pa.array(u % np.int64(n_buckets), pa.int64()),
             }
         )
 
-    per_type = (
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        uid = g.column("user_id").to_numpy()
+        n = g.column("n").to_numpy()
+        ety = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        tcodes, tinv = np.unique(ety, return_inverse=True)
+        comp = uid * np.int64(64) + tinv
+        uniq, inv = np.unique(comp, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        users = uniq // 64
+        u_uniq, u_inv = np.unique(users, return_inverse=True)
+        n_types = np.bincount(u_inv).astype(np.int64)
+        n_events = np.zeros(len(u_uniq), np.int64)
+        np.add.at(n_events, u_inv, tot)
+        return pa.table(
+            {
+                "user_id": pa.array(u_uniq, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+            }
+        )
+
+    return (
         rd.read_parquet(
             os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
-
-    def final(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return t
-        uid = t.column("user_id").to_numpy()
-        n = t.column("sum(n)").to_numpy()
-        uniq, inv = np.unique(uid, return_inverse=True)
-        return pa.table(
-            {
-                "user_id": pa.array(uniq, pa.int64()),
-                "n_types": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
-                "n_events": pa.array(
-                    np.bincount(inv, weights=n).astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    return per_type.groupby("user_id").map_groups(final, batch_format="pyarrow")
 
 
 def orders_rank_in_customer(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:

@@ -86,7 +86,9 @@ def main() -> int:
         for c in got.columns:
             a, b = got[c], exp[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
-                if not ((a - b).abs() < 1e-12).all():
+                # NULL == NULL: NaN fails any <, so compare nullness apart
+                ok = ((a - b).abs() < 1e-12) | (a.isna() & b.isna())
+                if not ok.all():
                     bad = c
                     break
             else:

@@ -600,3 +600,42 @@ def test_lineitem_cov_stats_matches_duckdb(ray_session):
         )
         cov = (sxy - sx * sy / n) / n
         assert cov == pytest.approx(ref.loc[flag, "cov"], rel=1e-12)
+
+
+def test_events_pivot_counts_matches_duckdb(ray_session):
+    from pdfredact_ray.pipelines.analytics import events_pivot_counts
+
+    got = _norm(events_pivot_counts(SF).to_pandas())
+    want = _norm(
+        _con()
+        .execute(
+            """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events GROUP BY user_id"""
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_pivot_unknown_type_fails_loudly(ray_session, tmp_path):
+    from pdfredact_ray.pipelines.analytics import events_pivot_counts
+    import pyarrow.parquet as pq
+    import ray.exceptions
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["click", "mystery"]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "events.parquet"))
+    with pytest.raises(Exception, match="mystery"):
+        events_pivot_counts(sf).materialize()
