@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_mask_equality_shuffle": T.apply_mask_equality_shuffle,
         # S2/S3: plan persisted via write_plan, re-read + re-bound from disk
         "plan_roundtrip_apply": T.plan_roundtrip_apply,
+        # flatten mode (the reference's planned feature): redact -> rasterize
+        # to 1-bit BMP (text layer destroyed) -> decode -> de-rasterize; the
+        # recovered text + image dims must match the generator sidecar
+        "flatten_roundtrip": T.flatten_roundtrip,
         "conv_assemble": T.conv_assemble,
         # resumable lineage job end-to-end (S4 sink, hash-bucket layout)
         "job_turn_counts": T.job_turn_counts,
@@ -436,6 +440,18 @@ def oracle_sql() -> dict[str, str]:
                    e.expected_n AS n_redactions
             FROM read_parquet('{turns}') t
             JOIN read_parquet('{expected}') e USING (conv_id, turn_idx)
+        """,
+        # flatten mode: the de-rasterized text must be the sidecar's expected
+        # redacted bytes, and the BMP geometry is a pure function of its
+        # length (wrap=64 chars/line, 8px glyphs -> w=512; 1bpp stride for
+        # 512px = 64B; offset 62 = 14+40+8-byte palette) — so dims AND byte
+        # size are independently recomputed in SQL from the ground truth.
+        "flatten_roundtrip": f"""
+            SELECT conv_id, turn_idx, expected_redacted AS text,
+                   CAST(512 AS INTEGER) AS img_w,
+                   CAST(8 * greatest(1, CAST(ceil(length(expected_redacted) / 64.0) AS BIGINT)) AS INTEGER) AS img_h,
+                   CAST(62 + 64 * 8 * greatest(1, CAST(ceil(length(expected_redacted) / 64.0) AS BIGINT)) AS BIGINT) AS img_nbytes
+            FROM read_parquet('{expected}')
         """,
         "redact_fragment_digits": f"""
             SELECT conv_id, turn_idx,

@@ -191,6 +191,13 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             return _consume(apply_pipeline(read_turns(turns_path), plan))
 
         timed("plan_then_apply", apply_flow)
+
+        def flatten_flow():
+            from pdfredact_ray.pipelines.redact import flatten_pipeline
+
+            return _consume(flatten_pipeline(read_turns(turns_path), rules))
+
+        timed("flatten", flatten_flow)
         timed("dedup_exact", lambda: _consume(C.dedup_exact(sf_dir)))
         timed("dedup_filter", lambda: _consume(C.dedup_filter(sf_dir)))
         timed("minhash_pairs", lambda: C.minhash_near_dup_pairs(sf_dir).num_rows)

@@ -123,6 +123,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_job.add_argument("--no-resume", action="store_true")
     p_job.add_argument("--strict", action="store_true")
 
+    p_flat = sub.add_parser(
+        "flatten",
+        help="redact + rasterize turns to bitmap images (no text layer) "
+        "-> parquet of BMP payloads (the reference's planned flatten mode)",
+    )
+    _add_common(p_flat)
+    p_flat.add_argument("-o", "--out", "--output", required=True)
+    p_flat.add_argument("--wrap", type=int, default=64, help="chars per rendered line")
+    p_flat.add_argument(
+        "--format", dest="img_format", default="bmp1", choices=["bmp1", "bmp24"],
+        help="raster format (reference plans PNG/JPEG; this container has no "
+        "codec libs, so the real formats are the two BMP flavors)",
+    )
+    p_flat.add_argument(
+        "--quality", type=int, default=None,
+        help="JPEG quality (reference-planned flag; not implementable here)",
+    )
+
     p_synth = sub.add_parser("synth", help="generate the synthetic turns corpus")
     p_synth.add_argument("--sf", default="sf0.01")
     p_synth.add_argument("--n-turns", type=int, default=None)
@@ -242,6 +260,24 @@ def main(argv: Optional[List[str]] = None) -> int:
             out = redact_pipeline(read_turns(args.input), rules, emit_spans=False)
             order_restore(out).write_parquet(args.out)
             print(f"Redacted -> {args.out}")
+            return 0
+
+        if args.cmd == "flatten":
+            if args.quality is not None:
+                print(
+                    "error: --quality requires a JPEG encoder, which this "
+                    "environment does not ship (reference-planned flag)",
+                    file=sys.stderr,
+                )
+                return 1
+            from pdfredact_ray.pipelines.redact import flatten_pipeline
+
+            out = flatten_pipeline(
+                read_turns(args.input), _build_rules(args),
+                wrap=args.wrap, fmt=args.img_format,
+            )
+            order_restore(out).write_parquet(args.out)
+            print(f"Flattened (text layer removed) -> {args.out}")
             return 0
 
         if args.cmd == "job":

@@ -431,6 +431,48 @@ def redact_pipeline(
     )
 
 
+def flatten_pipeline(
+    turns: rd.Dataset,
+    rules: Sequence[RuleLike],
+    *,
+    wrap: int = 64,
+    fmt: str = "bmp1",
+    concurrency=DEFAULT_CONCURRENCY,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    flatten_batch_size: int = 256,
+    strict: bool = True,
+) -> rd.Dataset:
+    """Redact + flatten fused (the reference's planned `flatten` command,
+    /root/reference/docs/FLATTEN_MODE.md:22-27: "applies redactions and
+    flattens … in one operation"): detect+mask, then rasterize each turn's
+    redacted text into a real BMP and DROP every text column — no text
+    layer survives in the output, only pixels.
+
+    ``flatten_batch_size`` is deliberately smaller than the text stages'
+    batch size: bmp1 rasters are ~8x the text bytes (bmp24 ~192x), so a
+    batch x concurrency of rendered payloads must still fit the worker
+    heap — the same sizing rule as the multimodal stages.
+    """
+    from pdfredact_ray.stages.flatten import flatten_batch
+
+    if fmt not in ("bmp1", "bmp24"):
+        raise NotImplementedError(f"flatten: format {fmt!r} not supported (bmp1|bmp24)")
+    red = redact_pipeline(
+        turns, rules,
+        concurrency=concurrency, batch_size=batch_size,
+        strict=strict, emit_spans=False,
+    )
+    # task-based (NOT a second fixed actor pool: the RuleMatcher pool owns
+    # the actor slots; two full pools deadlock on small CPU counts)
+    return red.map_batches(
+        flatten_batch,
+        fn_kwargs={"wrap": wrap, "fmt": fmt},
+        batch_format="pyarrow",
+        batch_size=flatten_batch_size,
+        zero_copy_batch=True,
+    )
+
+
 def order_restore(ds: rd.Dataset) -> rd.Dataset:
     """Stable turn ordering: sort by (conv_id, turn_idx). This is the
     all-to-all exchange of the flagship pipeline; Ray's sort sample-partitions

@@ -63,6 +63,36 @@ def redact_full(sf_dir: str) -> rd.Dataset:
     return order_restore(ds)
 
 
+def flatten_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Flatten mode proven end-to-end through the PIXEL domain: redact with
+    the full default ruleset, rasterize each turn's redacted text into a
+    real 1-bit BMP (stages/flatten.py), then decode the BMP and
+    de-rasterize the glyph grid back to text. The recovered text plus the
+    image dims/byte-size must match the generator's expected_redacted
+    sidecar exactly — i.e. the flattened artifact demonstrably still
+    carries the redacted content, but only as pixels (the reference's
+    planned flatten mode, /root/reference/docs/FLATTEN_MODE.md)."""
+    from pdfredact_ray.pipelines.redact import flatten_pipeline
+    from pdfredact_ray.stages.flatten import derasterize_image
+
+    flat = flatten_pipeline(_turns(sf_dir), default_rules())
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("img_bmp").to_pylist()
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "text": pa.array([derasterize_image(p) for p in payloads], pa.string()),
+                "img_w": batch.column("img_w"),
+                "img_h": batch.column("img_h"),
+                "img_nbytes": pc.cast(pc.binary_length(batch.column("img_bmp")), pa.int64()),
+            }
+        )
+
+    return flat.map_batches(roundtrip, batch_format="pyarrow", batch_size=256)
+
+
 def redact_mask_equality(sf_dir: str) -> rd.Dataset:
     """Per-turn masked-text equality vs a pure-SQL oracle (SSN + literal)."""
     ds = redact_pipeline(_plain(_turns(sf_dir)), MASK_EQUALITY_RULES)
