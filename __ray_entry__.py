@@ -84,6 +84,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": C.top_tokens,
         "doc_split": C.doc_split,
         "doc_quality": C.doc_quality,
+        # Gopher-style repetition signals (dup-word / dup-bigram quality flags)
+        "doc_repetition": C.doc_repetition,
+        # fixed-window training chunks with overlap (1 -> N flat_map)
+        "doc_chunks": C.doc_chunks,
+        # global top-k by integer quality score (per-batch pruned partials)
+        "top_quality_docs": C.top_quality_docs,
         "doc_fingerprints": C.doc_fingerprints,
         "doc_rolling_fingerprints": C.doc_rolling_fingerprints,
         "doc_langid": C.doc_langid,
@@ -116,7 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": R.top_orders_per_priority,
         # big-big LEFT ANTI join + two-level distinct aggregation
         "customers_without_orders": R.customers_without_orders,
+        # LEFT SEMI complement of the anti join (same skinny-key exchange)
+        "customers_with_orders": R.customers_with_orders,
         "events_user_distinct_types": R.events_user_distinct_types,
+        # ROLLUP: (type, day) / (type, ALL) / (ALL, ALL) from one exchange
+        "events_rollup": C.events_rollup,
         # bucketed window rank + correlated-subquery filter (exact
         # integer cross-multiply, no float division)
         "orders_rank_in_customer": R.orders_rank_in_customer,
@@ -545,6 +555,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
                    CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stopword_ratio
             FROM c
+        """,
+        # repetition signals: counts + lexicographically-smallest-of-max
+        # tie-break reproduced via ROW_NUMBER ordering; all-integer/string
+        # outputs so the match is exact
+        "doc_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            uni AS (SELECT doc_id, u.word FROM w, UNNEST(ws) AS u(word)),
+            ucnt AS (SELECT doc_id, word, COUNT(*) AS c FROM uni GROUP BY doc_id, word),
+            utop AS (SELECT doc_id, word, c,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, word ASC) AS rn
+                     FROM ucnt),
+            ustats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                              CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+                       FROM ucnt GROUP BY doc_id),
+            bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+                   FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+            bcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+            btop AS (SELECT doc_id, bg, c,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+                     FROM bcnt),
+            bstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                              CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+                       FROM bcnt GROUP BY doc_id)
+            SELECT u.doc_id AS doc_id, u.n_words, u.n_distinct_words,
+                   ut.word AS top_word, CAST(ut.c AS BIGINT) AS top_word_count,
+                   COALESCE(b.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   COALESCE(bt.bg, '') AS top_bigram,
+                   CAST(COALESCE(bt.c, 0) AS BIGINT) AS top_bigram_count
+            FROM ustats u
+            JOIN utop ut ON u.doc_id = ut.doc_id AND ut.rn = 1
+            LEFT JOIN bstats b ON u.doc_id = b.doc_id
+            LEFT JOIN btop bt ON u.doc_id = bt.doc_id AND bt.rn = 1
+        """,
+        # chunking: substring is 1-based char-indexed in DuckDB; empty docs
+        # still yield one empty chunk via greatest(len-1, 0)
+        "doc_chunks": """
+            SELECT doc_id, CAST(s / 150 AS INTEGER) AS chunk_idx,
+                   substring(text, s + 1, 200) AS chunk_text
+            FROM documents,
+                 UNNEST(generate_series(0, greatest(length(text) - 1, 0), 150)) AS t(s)
+        """,
+        "top_quality_docs": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '(?i)\b(the|and|of|to|a|in|is|for|on|with|as|at|by|it|that|this|be|are|was|or)\b'
+                   )) * 1000 // greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT)
+                     AS stop_permille,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+            ORDER BY stop_permille DESC, doc_id ASC
+            LIMIT 100
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
@@ -1046,6 +1108,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        # ROLLUP levels marked with the literal sentinel 'ALL' on both sides
+        # (NULL markers hash ambiguously through the driver's value compare)
+        "events_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM (
+                SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       1 AS n, CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            GROUP BY ROLLUP(event_type, day)
         """,
         "events_user_distinct_types": """
             SELECT user_id,

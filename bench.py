@@ -257,6 +257,11 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("above_avg_filter", lambda: _consume(RJ.orders_above_customer_avg(sf_dir)))
         timed("top_event_type", lambda: _consume(AN.user_top_event_type(sf_dir)))
         timed("pivot_counts", lambda: _consume(AN.events_pivot_counts(sf_dir)))
+        timed("doc_repetition", lambda: _consume(C.doc_repetition(sf_dir)))
+        timed("doc_chunks", lambda: _consume(C.doc_chunks(sf_dir)))
+        timed("top_quality_docs", lambda: C.top_quality_docs(sf_dir).num_rows)
+        timed("events_rollup", lambda: _consume(C.events_rollup(sf_dir)))
+        timed("semi_join", lambda: _consume(RJ.customers_with_orders(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

@@ -40,8 +40,10 @@ from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, ImageRes
 from pdfredact_ray.stages.textops import (
     LangId,
     bpe_token_counts,
+    chunk_documents,
     fingerprints,
     quality_scores,
+    repetition_signals,
     rolling_fingerprints,
     token_counts,
 )
@@ -535,6 +537,128 @@ def doc_bpe_token_counts(sf_dir: str) -> rd.Dataset:
 
 def doc_quality(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(quality_scores, batch_format="pyarrow")
+
+
+def doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-doc repetition quality signals (Gopher-style duplicate-content
+    flags): word/bigram totals, distinct counts, most-repeated item + count.
+    Pure map, zero shuffle — one doc is one row, so the whole signal
+    computes inside the batch at any corpus size."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_signals, batch_format="pyarrow"
+    )
+
+
+def doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Training-window chunking: every doc split into 200-char windows with
+    50-char overlap (stride 150), 1 -> N rows. flat_map shape via
+    map_batches; output size ~4/3 of input, no shuffle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_documents, batch_format="pyarrow"
+    )
+
+
+def top_quality_docs(sf_dir: str, k: int = 100) -> pa.Table:
+    """Global top-k documents by stopword density (integer permille, so the
+    ordering is exact), tie-broken by doc_id — the percentile-gate shape of
+    a quality-filtered corpus selection.
+
+    Scale shape: NOT a global sort. Each batch prunes to its local top-k
+    (quality signals are per-row Arrow kernels), so only
+    O(k x n_batches) skinny rows ever leave the map stage; the driver
+    finishes with one lexsort of that tiny partial table."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q = quality_scores(t)
+        permille = np.floor_divide(
+            q.column("n_stopwords").to_numpy() * 1000,
+            np.maximum(q.column("n_tokens").to_numpy(), 1),
+        )
+        ids = q.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -permille))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "stop_permille": pa.array(permille[order], pa.int64()),
+                "n_tokens": pa.array(q.column("n_tokens").to_numpy()[order], pa.int64()),
+            }
+        )
+
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(local_topk, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    ids = tbl.column("doc_id").to_numpy()
+    order = np.lexsort((ids, -tbl.column("stop_permille").to_numpy()))[:k]
+    return tbl.take(order)
+
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP aggregate over (event_type, day): counts + int-cents sums at
+    three levels — (type, day), (type, ALL), (ALL, ALL) — with the literal
+    sentinel 'ALL' marking rolled-up dimensions (a string sentinel rather
+    than NULL so the driver's value-hash compare is unambiguous).
+
+    Scale shape: the map side collapses each batch to distinct
+    (type, day) partials (one lexsort + RLE), so the single exchange moves
+    |types| x |days| skinny rows per batch — a tiny, bounded domain — into
+    ONE block where the final combine and the two coarser levels are
+    derived from the finest table (never a second pass over raw events)."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pandas(), dtype=object)
+        day = np.asarray(
+            pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"), format="%Y-%m-%d").to_pandas(),
+            dtype=object,
+        )
+        cents = pc.cast(
+            pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        key = et + "\x00" + day
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        new = np.ones(len(k_s), dtype=bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        gid = np.cumsum(new) - 1
+        n = np.bincount(gid).astype(np.int64)
+        s = np.zeros(len(n), np.int64)
+        np.add.at(s, gid, cents[order])
+        sel = order[new]
+        return pa.table(
+            {
+                "event_type": pa.array(et[sel], pa.string()),
+                "day": pa.array(day[sel], pa.string()),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import pandas as pd
+
+        df = t.to_pandas()
+        finest = (
+            df.groupby(["event_type", "day"], as_index=False)[["n_events", "sum_cents"]].sum()
+        )
+        by_type = finest.groupby("event_type", as_index=False)[["n_events", "sum_cents"]].sum()
+        by_type["day"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "day": ["ALL"],
+                "n_events": [finest["n_events"].sum()],
+                "sum_cents": [finest["sum_cents"].sum()],
+            }
+        )
+        out = pd.concat([finest, by_type, total], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["event_type", "day", "n_events", "sum_cents"]], preserve_index=False
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    # one block: the rollup levels need every finest-key partial together
+    return parts.repartition(1).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:

@@ -509,6 +509,55 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
     )
 
 
+def customers_with_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
+    """Big-big LEFT SEMI join — the complement of
+    ``customers_without_orders``: customers that DID place a ``priority``
+    order, at most once each regardless of how many such orders exist.
+    Same scale shape as the anti join (probe side reduced map-side to its
+    distinct keys, skinny int exchange, ``left_outer`` + marker), with the
+    filter flipped to IS NOT NULL: Ray's ``Dataset.join`` has no native
+    semi type, and inner-joining against the raw orders table would both
+    duplicate customers per order and ship order rows through the
+    exchange."""
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": pa.array(np.unique(t.column("o_custkey").to_numpy()), pa.int64())}
+        )
+
+    buyers = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .filter(expr=f"o_orderpriority == {priority!r}")
+        .map_batches(distinct_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: t if t.num_columns == 0 else t.rename_columns(["o_custkey", "has_order"]),
+            batch_format="pyarrow",
+        )
+    )
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    num_partitions = max(8, default_concurrency() // 3)
+    joined = customer.join(
+        buyers,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("has_order"))).select(
+            ["c_custkey", "c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def events_user_distinct_types(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Distinct-count aggregate: per user, the number of DISTINCT event
     types and total events. Map-side partial collapses each batch to

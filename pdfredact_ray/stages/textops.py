@@ -172,6 +172,92 @@ class LangId:
         )
 
 
+def _group_top_stats(par: np.ndarray, keys: np.ndarray, n: int):
+    """Per-parent (total, distinct, top-key, top-count) over (parent, key)
+    pairs — one lexsort + run-length encode, no Python loop. Tie-break for
+    the top key is lexicographically-smallest among max counts (the same
+    deterministic rule the DuckDB oracle's ROW_NUMBER ordering uses)."""
+    order = np.lexsort((keys, par))
+    p, k = par[order], keys[order]
+    new = np.ones(len(p), dtype=bool)
+    new[1:] = (p[1:] != p[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(p)))
+    gp, gk = p[starts], k[starts]
+    o2 = np.lexsort((gk, -counts, gp))
+    first = np.ones(len(o2), dtype=bool)
+    first[1:] = gp[o2][1:] != gp[o2][:-1]
+    sel = o2[first]
+    top_key = np.full(n, "", dtype=object)
+    top_cnt = np.zeros(n, dtype=np.int64)
+    n_total = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    np.add.at(n_total, par, 1)
+    np.add.at(n_distinct, gp, 1)
+    top_key[gp[sel]] = gk[sel]
+    top_cnt[gp[sel]] = counts[sel]
+    return n_total, n_distinct, top_key, top_cnt
+
+
+def repetition_signals(batch: pa.Table) -> pa.Table:
+    """Gopher/RefinedWeb-style per-document repetition quality signals:
+    word and word-bigram totals, distinct counts, and the most-repeated
+    item with its count. High top_*_count/n_* ratios flag the degenerate
+    repeated-content documents training pipelines drop.
+
+    All-integer/string outputs so the check is exact (no float hashing).
+    Fully within-batch (one doc = one row), so zero shuffle at any scale;
+    the counting is one lexsort + RLE over the batch's flattened words.
+    """
+    words = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    parents = pc.list_parent_indices(words).to_numpy()
+    flat = np.asarray(words.flatten().to_pandas(), dtype=object)
+    n = batch.num_rows
+    nw, ndw, tw, twc = _group_top_stats(parents, flat, n)
+    m = parents[:-1] == parents[1:]
+    bpar = parents[:-1][m]
+    bg = flat[:-1][m] + " " + flat[1:][m]
+    nb, ndb, tb, tbc = _group_top_stats(bpar, bg, n)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(nw),
+            "n_distinct_words": pa.array(ndw),
+            "top_word": pa.array(tw, type=pa.string()),
+            "top_word_count": pa.array(twc),
+            "n_bigrams": pa.array(nb),
+            "n_distinct_bigrams": pa.array(ndb),
+            "top_bigram": pa.array(tb, type=pa.string()),
+            "top_bigram_count": pa.array(tbc),
+        }
+    )
+
+
+def chunk_documents(batch: pa.Table, size: int = 200, stride: int = 150) -> pa.Table:
+    """Fixed-window training chunks with overlap (size - stride chars):
+    1 -> N rows (doc_id, chunk_idx, chunk_text). Chunk starts are every
+    ``stride`` chars; an empty doc still yields one empty chunk (matching
+    the SQL oracle's generate_series(0, greatest(len-1, 0), stride)).
+    Per-doc slicing is the output copy itself — O(total output bytes)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out_id, out_idx, out_txt = [], [], []
+    for d, s in zip(ids, texts):
+        for j, st in enumerate(range(0, max(len(s), 1), stride)):
+            out_id.append(d)
+            out_idx.append(j)
+            out_txt.append(s[st : st + size])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_idx, type=pa.int32()),
+            "chunk_text": pa.array(out_txt, type=pa.string()),
+        }
+    )
+
+
 def content_digest(batch: pa.Table, column: str = "text") -> pa.Table:
     """Append a stable content digest column (md5 hex) — the hash-partition
     key for exact dedup (never groupby raw text at scale; hash first)."""

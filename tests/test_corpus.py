@@ -8,6 +8,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+import ray
 
 SF = "/root/testdata/sf0.001"
 
@@ -525,3 +526,114 @@ def test_minhash_bucket_cap_metadata_surfaced(ray_session, tmp_path):
     meta = out.schema.metadata or {}
     assert int(meta[b"minhash.capped_buckets"]) >= 1
     assert int(meta[b"minhash.dropped_members"]) >= 8
+
+
+# ----------------------------------------------------- repetition / chunking
+
+
+def test_repetition_signals_edge_cases():
+    from pdfredact_ray.stages.textops import repetition_signals
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "",  # splits to [''] -> one empty-string word, no bigrams
+                    "solo",  # one word, zero bigrams
+                    "a b a b a",  # top word 'a' x3; top bigram 'a b' x2
+                    "z z z z",  # degenerate repeat: top bigram 'z z' x3
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = repetition_signals(batch).to_pydict()
+    assert out["n_words"] == [1, 1, 5, 4]
+    assert out["n_distinct_words"] == [1, 1, 2, 1]
+    assert out["top_word"] == ["", "solo", "a", "z"]
+    assert out["top_word_count"] == [1, 1, 3, 4]
+    assert out["n_bigrams"] == [0, 0, 4, 3]
+    assert out["top_bigram"] == ["", "", "a b", "z z"]
+    assert out["top_bigram_count"] == [0, 0, 2, 3]
+
+
+def test_repetition_tie_break_is_lexicographic():
+    from pdfredact_ray.stages.textops import repetition_signals
+
+    batch = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["b a b a"], pa.string())}
+    )
+    out = repetition_signals(batch).to_pydict()
+    # 'a' and 'b' both appear twice -> lexicographically smallest wins
+    assert out["top_word"] == ["a"]
+    # bigrams 'b a' x2, 'a b' x1 -> count wins before lexicographic order
+    assert out["top_bigram"] == ["b a"]
+
+
+def test_chunk_documents_boundaries():
+    from pdfredact_ray.stages.textops import chunk_documents
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["", "x" * 150, "y" * 151, "z" * 350], pa.string()),
+        }
+    )
+    out = chunk_documents(batch, size=200, stride=150).to_pydict()
+    by_doc = {}
+    for d, i, c in zip(out["doc_id"], out["chunk_idx"], out["chunk_text"]):
+        by_doc.setdefault(d, []).append((i, c))
+    assert by_doc[0] == [(0, "")]  # empty doc -> one empty chunk
+    assert by_doc[1] == [(0, "x" * 150)]  # exactly one stride -> one chunk
+    assert by_doc[2] == [(0, "y" * 151), (1, "y")]  # one char past -> 2 chunks
+    # 350 chars: [0:200], [150:350], overlap of 50 between consecutive chunks
+    assert by_doc[3][0][1][-50:] == by_doc[3][1][1][:50]
+    assert len(by_doc[3]) == 3 and by_doc[3][2] == (2, "z" * 50)
+
+
+def test_top_quality_docs_deterministic(ray_session):
+    from pdfredact_ray.pipelines.corpus import top_quality_docs
+
+    t1 = top_quality_docs("/root/testdata/sf0.001", k=20)
+    t2 = top_quality_docs("/root/testdata/sf0.001", k=20)
+    assert t1.equals(t2)
+    pm = t1.column("stop_permille").to_pylist()
+    assert pm == sorted(pm, reverse=True)
+    assert t1.num_rows == 20
+
+
+def test_events_rollup_levels_consistent(ray_session):
+    from pdfredact_ray.pipelines.corpus import events_rollup
+
+    tbl = pa.concat_tables(ray.get(events_rollup("/root/testdata/sf0.001").to_arrow_refs()))
+    rows = tbl.to_pylist()
+    finest = [r for r in rows if r["event_type"] != "ALL" and r["day"] != "ALL"]
+    by_type = {r["event_type"]: r for r in rows if r["event_type"] != "ALL" and r["day"] == "ALL"}
+    total = [r for r in rows if r["event_type"] == "ALL"]
+    assert len(total) == 1 and total[0]["day"] == "ALL"
+    # every rollup level must re-sum exactly from the finest level
+    assert total[0]["n_events"] == sum(r["n_events"] for r in finest)
+    assert total[0]["sum_cents"] == sum(r["sum_cents"] for r in finest)
+    for et, agg in by_type.items():
+        mine = [r for r in finest if r["event_type"] == et]
+        assert agg["n_events"] == sum(r["n_events"] for r in mine)
+        assert agg["sum_cents"] == sum(r["sum_cents"] for r in mine)
+
+
+def test_semi_and_anti_join_partition_customers(ray_session):
+    from pdfredact_ray.pipelines.relational import (
+        customers_with_orders,
+        customers_without_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with_o = {r["c_custkey"] for r in customers_with_orders(sf).take_all()}
+    without_o = {r["c_custkey"] for r in customers_without_orders(sf).take_all()}
+    assert with_o and without_o
+    assert not (with_o & without_o)
+    all_cust = set(
+        pq.read_table(sf + "/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey").to_pylist()
+    )
+    assert (with_o | without_o) == all_cust
