@@ -136,6 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": A.events_value_quantiles,
         "events_band_join": A.events_band_join,
         "events_moving_stats": A.events_moving_stats,
+        # time-RANGE trailing window (the ROWS window's companion)
+        "events_trailing_hour": A.events_trailing_hour,
+        # percentile-gated corpus selection (histogram threshold, 2 passes)
+        "quality_percentile_filter": A.quality_percentile_filter,
+        # TPC-H Q3 shape: segment ⋈ dated orders ⋈ shipped lineitems, top-k
+        "q3_shipping_priority": R.q3_shipping_priority,
         "doc_group_sample": A.doc_group_sample,
         "doc_tfidf_top_terms": A.doc_tfidf_top_terms,
         # mode/argmax aggregate, distinct-set algebra, covariance partials
@@ -1221,6 +1227,48 @@ def oracle_sql() -> dict[str, str]:
         # sees the distinct-value histogram), range join (VALUES interval
         # table mirrored from analytics.VALUE_BANDS), deterministic grouped
         # sampling (md5-of-id rank), TF-IDF (tf · ln(N/df), ties by term).
+        "events_trailing_hour": """
+            SELECT event_id,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS trail_sum_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "quality_percentile_filter": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                         '(?i)\b(the|and|of|to|a|in|is|for|on|with|as|at|by|it|that|this|be|are|was|or)\b'
+                       )) * 1000 // greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT)
+                         AS stop_permille
+                FROM documents
+            )
+            SELECT doc_id, stop_permille FROM c
+            WHERE stop_permille >= (
+                SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY stop_permille) FROM c
+            )
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, revenue_cents, o_orderdate, o_orderpriority FROM (
+                SELECT l.l_orderkey,
+                       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                                AS BIGINT)) AS BIGINT) AS revenue_cents,
+                       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                       o.o_orderpriority
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+                  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+                GROUP BY 1, 3, 4
+            )
+            ORDER BY revenue_cents DESC, l_orderkey ASC
+            LIMIT 10
+        """,
         "events_value_quantiles": """
             WITH c AS (
                 SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents

@@ -262,6 +262,9 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("top_quality_docs", lambda: C.top_quality_docs(sf_dir).num_rows)
         timed("events_rollup", lambda: _consume(C.events_rollup(sf_dir)))
         timed("semi_join", lambda: _consume(RJ.customers_with_orders(sf_dir)))
+        timed("trailing_hour", lambda: _consume(AN.events_trailing_hour(sf_dir)))
+        timed("percentile_filter", lambda: _consume(AN.quality_percentile_filter(sf_dir)))
+        timed("q3_top_orders", lambda: RJ.q3_shipping_priority(sf_dir).num_rows)
 
     headline_sec = timings.get("redact_sorted_write")
     return {

@@ -349,6 +349,109 @@ def events_moving_stats(sf_dir: str, w: int = 5) -> rd.Dataset:
     )
 
 
+def events_trailing_hour(sf_dir: str, minutes: int = 60) -> rd.Dataset:
+    """Time-RANGE trailing window per user: for each event, the floor-cents
+    sum and row count over all of that user's events in the last ``minutes``
+    (inclusive lower bound, and peer rows with an identical timestamp are in
+    the frame — exactly SQL's ``RANGE BETWEEN INTERVAL .. PRECEDING AND
+    CURRENT ROW``). The companion to ``events_moving_stats``' ROWS window:
+    one in-group sort, cumulative sums, and two vectorized ``searchsorted``
+    calls for the frame bounds — no per-row Python. Same per-user-locality
+    partitioning assumption as the as-of join."""
+    span_us = np.int64(minutes) * np.int64(60_000_000)
+
+    def win(g: pa.Table) -> pa.Table:
+        ts = (
+            g.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy()
+        cents = pc.cast(
+            pc.floor(pc.multiply(g.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        order = np.lexsort((eid, ts))
+        ts_s, eid_s, cents_s = ts[order], eid[order], cents[order]
+        cum = np.concatenate(([0], np.cumsum(cents_s)))
+        lo = np.searchsorted(ts_s, ts_s - span_us, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")  # peers included
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "trail_sum_cents": pa.array((cum[hi] - cum[lo]).astype(np.int64), pa.int64()),
+                "trail_n": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(win, batch_format="pyarrow")
+    )
+
+
+def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> rd.Dataset:
+    """Percentile-gated corpus selection: keep documents whose stopword
+    density (integer permille) is at or above the corpus-wide p-th
+    percentile (percentile_disc).
+
+    Two streaming passes, no sort and no shuffle: pass 1 reduces each batch
+    to its distinct (permille, n) histogram rows — the domain is at most
+    1001 values, so the collected histogram is tiny at ANY corpus size —
+    the driver reads the threshold off the cumulative histogram, and pass 2
+    re-streams the corpus filtering against the broadcast scalar."""
+    from pdfredact_ray.stages.textops import quality_scores
+
+    def permille_of(t: pa.Table) -> np.ndarray:
+        q = quality_scores(t)
+        return np.floor_divide(
+            q.column("n_stopwords").to_numpy() * 1000,
+            np.maximum(q.column("n_tokens").to_numpy(), 1),
+        )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        pm = permille_of(t)
+        uniq, counts = np.unique(pm, return_counts=True)
+        return pa.table(
+            {
+                "permille": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist_tbl = pa.concat_tables(
+        ray.get(
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    raw_v = hist_tbl.column("permille").to_numpy()
+    raw_n = hist_tbl.column("n").to_numpy()
+    vals, inv = np.unique(raw_v, return_inverse=True)
+    n = np.zeros(len(vals), np.int64)
+    np.add.at(n, inv, raw_n)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    # percentile_disc: smallest value with cume_dist >= p (index ceil(p*n)-1)
+    idx = max(int(math.ceil(p * total)) - 1, 0)
+    threshold = int(vals[int(np.searchsorted(cum, idx + 1))])
+
+    def gate(t: pa.Table) -> pa.Table:
+        pm = permille_of(t)
+        keep = pm >= threshold
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "stop_permille": pa.array(pm[keep], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")
+
+
 def user_top_event_type(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Mode / argmax aggregate: each user's most frequent event type, with
     a deterministic tie-break (higher count wins, then lexicographically

@@ -456,6 +456,137 @@ def events_asof_view(sf_dir: str) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(asof, batch_format="pyarrow")
 
 
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """TPC-H Q3 shape (unshipped-orders revenue ranking): customers in one
+    market segment ⋈ their orders placed before ``cutoff`` ⋈ lineitems
+    shipped after it, revenue per order, global top-k.
+
+    Scale shape: every side is reduced BEFORE its exchange — lineitem is
+    date-filtered and collapsed to per-orderkey floor-cents revenue via the
+    bucketed combine (the revenue_by_priority pattern); orders are filtered
+    and projected to 4 columns before the custkey join against the
+    segment's distinct keys (big-big: a segment is ~1/5 of all customers,
+    never broadcastable); the final orderkey join moves only pre-reduced
+    skinny rows. The top-k is per-batch pruned partials + one driver
+    lexsort — never a global sort."""
+    cutoff_ts = np.datetime64(f"{cutoff}T00:00:00", "us")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.timestamp("us")).to_numpy()
+        m = ship > cutoff_ts
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        keys = t.column("l_orderkey").to_numpy()[m]
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                ),
+                "bucket": pa.array(uniq % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        keys = g.column("l_orderkey").to_numpy()
+        v = g.column("revenue_cents").to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, v)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "revenue_cents": pa.array(tot, pa.int64()),
+            }
+        )
+
+    li = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.timestamp("us"))
+        mask = pa.array(od.to_numpy() < cutoff_ts)
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": pc.strftime(
+                    t.column("o_orderdate").cast(pa.timestamp("us")), format="%Y-%m-%d"
+                ),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_prep, batch_format="pyarrow")
+
+    cust = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        .filter(expr=f"c_mktsegment == {segment!r}")
+        .map_batches(lambda t: t.select(["c_custkey"]), batch_format="pyarrow")
+    )
+
+    num_partitions = max(8, default_concurrency() // 3)
+    orders_seg = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    joined = li.join(
+        orders_seg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        rev = t.column("revenue_cents").to_numpy()
+        keys = t.column("l_orderkey").to_numpy()
+        order = np.lexsort((keys, -rev))[:k]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys[order], pa.int64()),
+                "revenue_cents": pa.array(rev[order], pa.int64()),
+                "o_orderdate": t.column("o_orderdate").take(pa.array(order)),
+                "o_orderpriority": t.column("o_orderpriority").take(pa.array(order)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(joined.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs())
+    )
+    order = np.lexsort(
+        (parts.column("l_orderkey").to_numpy(), -parts.column("revenue_cents").to_numpy())
+    )[:k]
+    return parts.take(order)
+
+
 def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
     """Big-big LEFT ANTI join: customers that never placed a ``priority``
     order. The probe side is filtered at the source and reduced map-side to

@@ -639,3 +639,82 @@ def test_events_pivot_unknown_type_fails_loudly(ray_session, tmp_path):
     pq.write_table(t, os.path.join(sf, "events.parquet"))
     with pytest.raises(Exception, match="mystery"):
         events_pivot_counts(sf).materialize()
+
+
+def test_trailing_hour_includes_peers_and_bound(ray_session, tmp_path):
+    """RANGE-window semantics: rows exactly 1h back are IN the frame
+    (inclusive lower bound) and same-timestamp peers share one frame."""
+    from pdfredact_ray.pipelines.analytics import events_trailing_hour
+
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2026-01-01T12:00:00", "us")
+    hour = np.timedelta64(1, "h")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7], pa.int64()),
+            # e1 at t0; e2 exactly 1h later (frame includes e1);
+            # e3/e4 peers at t0+90min (each sees BOTH peers + e2);
+            # e5 at t0+2h31m (frame back to t0+1h31m: only itself)
+            "ts": pa.array(
+                [
+                    base,
+                    base + hour,
+                    base + np.timedelta64(90, "m"),
+                    base + np.timedelta64(90, "m"),
+                    base + np.timedelta64(151, "m"),
+                ]
+            ),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["event_id"]: (r["trail_sum_cents"], r["trail_n"])
+        for r in events_trailing_hour(str(tmp_path)).take_all()
+    }
+    assert got[1] == (100, 1)
+    assert got[2] == (300, 2)  # inclusive: e1 at exactly -1h is in frame
+    assert got[3] == (1400, 3) and got[4] == (1400, 3)  # peers share frame
+    assert got[5] == (1600, 1)
+
+
+def test_quality_percentile_filter_threshold_rule(ray_session):
+    """The kept set is exactly the >= percentile_disc(p) subset, and the
+    threshold value itself appears in the kept set (disc, not interpolated)."""
+    from pdfredact_ray.pipelines.analytics import quality_percentile_filter
+
+    got = quality_percentile_filter(SF, p=0.5).to_pandas()
+    want = (
+        _con()
+        .execute(
+            r"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '(?i)\b(the|and|of|to|a|in|is|for|on|with|as|at|by|it|that|this|be|are|was|or)\b'
+                   )) * 1000 // greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT)
+                     AS stop_permille
+            FROM documents
+        )
+        SELECT doc_id, stop_permille FROM c
+        WHERE stop_permille >= (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY stop_permille) FROM c
+        )"""
+        )
+        .df()
+    )
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    assert got["stop_permille"].min() in set(got["stop_permille"])
+
+
+def test_q3_shipping_priority_deterministic_and_ordered(ray_session):
+    from pdfredact_ray.pipelines.relational import q3_shipping_priority
+
+    t1 = q3_shipping_priority(SF, k=5)
+    t2 = q3_shipping_priority(SF, k=5)
+    assert t1.equals(t2)
+    rev = t1.column("revenue_cents").to_pylist()
+    assert rev == sorted(rev, reverse=True)
+    assert t1.num_rows == 5
