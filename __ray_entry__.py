@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_dedup_filter": C.near_dup_dedup_filter,
         # the end-to-end cleaning composition (dedup + quality + language)
         "corpus_clean": C.corpus_clean,
+        # Bloom-filter incremental dedup gate (deterministic md5 hashes ->
+        # exact oracle despite being a probabilistic structure)
+        "bloom_new_docs": C.bloom_new_docs,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "simhash_signatures": C.simhash_signatures,
         # --- text analysis
@@ -613,6 +616,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY stop_permille DESC, doc_id ASC
             LIMIT 100
+        """,
+        # Bloom gate recomputed bit-for-bit: a candidate is NEW iff at least
+        # one of its k md5-derived bit positions is absent from the
+        # reference shard's set-bit set (k=4, m=2^16 — mirrors
+        # corpus.BLOOM_K/BLOOM_BITS and the doc_split md5_number_upper
+        # convention)
+        "bloom_new_docs": """
+            WITH ref_bits AS (
+                SELECT DISTINCT md5_number_upper(text || ':bloom' || i) % 65536 AS bit
+                FROM documents, UNNEST(generate_series(0, 3)) AS t(i)
+                WHERE doc_id % 10 = 0
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 10 <> 0
+              AND EXISTS (
+                  SELECT 1 FROM UNNEST(generate_series(0, 3)) AS t(i)
+                  WHERE md5_number_upper(d.text || ':bloom' || i) % 65536
+                        NOT IN (SELECT bit FROM ref_bits)
+              )
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents

@@ -265,6 +265,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("trailing_hour", lambda: _consume(AN.events_trailing_hour(sf_dir)))
         timed("percentile_filter", lambda: _consume(AN.quality_percentile_filter(sf_dir)))
         timed("q3_top_orders", lambda: RJ.q3_shipping_priority(sf_dir).num_rows)
+        timed("bloom_gate", lambda: _consume(C.bloom_new_docs(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

@@ -13,6 +13,7 @@ Nothing here calls ray.init().
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import List, Optional, Sequence
 
@@ -555,6 +556,78 @@ def doc_chunks(sf_dir: str) -> rd.Dataset:
     map_batches; output size ~4/3 of input, no shuffle."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunk_documents, batch_format="pyarrow"
+    )
+
+
+BLOOM_BITS = 1 << 16  # m: filter width in bits (8 KiB of memory)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_bits_of(text: str) -> list:
+    """The BLOOM_K bit positions for one text: md5(text || ':bloom' || i)
+    upper-64 little-endian mod m — the same md5_number_upper convention as
+    doc_split, so the SQL oracle reproduces every bit exactly."""
+    return [
+        int.from_bytes(hashlib.md5(f"{text}:bloom{i}".encode()).digest()[:8], "little")
+        % BLOOM_BITS
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_new_docs(sf_dir: str) -> rd.Dataset:
+    """Bloom-filter INCREMENTAL dedup — the cross-run membership gate: docs
+    already ingested (here: the doc_id % 10 == 0 shard, standing in for a
+    previous run's corpus) populate a fixed-size bit array; the incoming
+    stream keeps only docs the filter can PROVE are new (at least one of
+    their k bits unset). Bloom guarantees no false negatives, so the kept
+    set provably contains no exact text duplicate of the reference shard;
+    false positives (conservatively dropped docs) are deterministic because
+    the hashes are md5-derived — which is what makes this hash-green
+    checkable rather than approximate-by-construction.
+
+    Scale shape: the build side reduces each batch to ONE fixed 8 KiB
+    bitmap row (never a bit-index table, which would be O(k·|ref|)); the
+    driver ORs the handful of bitmaps and ``ray.put``s the result once; the
+    candidate stream gates in a TASK-based map_batches against the
+    broadcast bitmap. Memory is O(m) regardless of corpus size — the whole
+    point of a Bloom gate at 10^12 rows (size m to the expected reference
+    cardinality; 2^16 bits suits this test corpus's ~10^2 reference docs).
+    """
+    n_words = BLOOM_BITS // 64
+
+    def bitmap_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        words = np.zeros(n_words, dtype=np.uint64)
+        for txt in t.column("text").filter(pa.array(ids % 10 == 0)).to_pylist():
+            for b in _bloom_bits_of(txt):
+                words[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+        return pa.table({"bitmap": pa.array([words.tobytes()], pa.binary())})
+
+    parts = _collect(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(bitmap_partial, batch_format="pyarrow")
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    if parts is not None:
+        for buf in parts.column("bitmap").to_pylist():
+            words |= np.frombuffer(buf, dtype=np.uint64)
+    words_ref = ray.put(words)
+
+    def gate(t: pa.Table, ref) -> pa.Table:
+        w = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        ids = t.column("doc_id").to_numpy()
+        cand = t.filter(pa.array(ids % 10 != 0))
+        keep = []
+        for txt in cand.column("text").to_pylist():
+            bits = _bloom_bits_of(txt)
+            keep.append(
+                not all((w[b >> 6] >> np.uint64(b & 63)) & np.uint64(1) for b in bits)
+            )
+        return pa.table(
+            {"doc_id": cand.column("doc_id").filter(pa.array(keep, type=pa.bool_()))}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate, fn_args=(words_ref,), batch_format="pyarrow"
     )
 
 

@@ -637,3 +637,42 @@ def test_semi_and_anti_join_partition_customers(ray_session):
         .column("c_custkey").to_pylist()
     )
     assert (with_o | without_o) == all_cust
+
+
+def test_bloom_gate_has_no_false_negatives(ray_session, tmp_path):
+    """Bloom guarantee: a candidate whose text exactly duplicates a
+    reference-shard doc is ALWAYS dropped (never a false negative); a
+    distinct text survives unless it collides on all k bits."""
+    from pdfredact_ray.pipelines.corpus import bloom_new_docs
+
+    rows = {
+        # doc_id % 10 == 0 -> reference shard; others are candidates
+        "doc_id": pa.array([0, 10, 20, 1, 2, 3], pa.int64()),
+        "text": pa.array(
+            [
+                "alpha reference text",
+                "beta reference text",
+                "gamma reference text",
+                "alpha reference text",  # exact dup of ref 0 -> must drop
+                "totally novel text one",
+                "beta reference text",  # exact dup of ref 10 -> must drop
+            ],
+            pa.string(),
+        ),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["t"] * 6),
+        "n_chars": pa.array([1] * 6, pa.int64()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    kept = {r["doc_id"] for r in bloom_new_docs(str(tmp_path)).take_all()}
+    assert 1 not in kept and 3 not in kept
+    assert kept == {2}
+
+
+def test_bloom_bits_deterministic():
+    from pdfredact_ray.pipelines.corpus import BLOOM_BITS, BLOOM_K, _bloom_bits_of
+
+    a, b = _bloom_bits_of("same text"), _bloom_bits_of("same text")
+    assert a == b and len(a) == BLOOM_K
+    assert all(0 <= x < BLOOM_BITS for x in a)
+    assert _bloom_bits_of("other text") != a
