@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_hour": A.events_trailing_hour,
         # percentile-gated corpus selection (histogram threshold, 2 passes)
         "quality_percentile_filter": A.quality_percentile_filter,
+        # next-day retention (temporal self-join, expressed without the join)
+        "user_daily_retention": A.user_daily_retention,
         # TPC-H Q3 shape: segment ⋈ dated orders ⋈ shipped lineitems, top-k
         "q3_shipping_priority": R.q3_shipping_priority,
         "doc_group_sample": A.doc_group_sample,
@@ -1249,6 +1251,16 @@ def oracle_sql() -> dict[str, str]:
         # sees the distinct-value histogram), range join (VALUES interval
         # table mirrored from analytics.VALUE_BANDS), deterministic grouped
         # sampling (md5-of-id rank), TF-IDF (tf · ln(N/df), ties by term).
+        "user_daily_retention": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+            SELECT strftime(a.d, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained
+            FROM ud a
+            LEFT JOIN ud b ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+            GROUP BY a.d
+        """,
         "events_trailing_hour": """
             SELECT event_id,
                    CAST(SUM(cents) OVER w AS BIGINT) AS trail_sum_cents,

@@ -452,6 +452,88 @@ def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")
 
 
+def user_daily_retention(sf_dir: str) -> rd.Dataset:
+    """Next-day retention: per calendar day, how many users were active and
+    how many of those were active again the following day — the temporal
+    self-join every engagement pipeline runs, WITHOUT the self-join.
+
+    Scale shape: (1) map-side distinct (user, day) collapse — the only
+    rows that ever shuffle, bounded by users x days, not events; (2) ONE
+    groupby(user) where each user's sorted day array answers "active
+    tomorrow?" with a single vectorized ``isin`` against itself (days are
+    fixed 86400s apart, so next-day is day + constant — no join probe);
+    (3) per-batch day partials + a tiny groupby(day) sum (the group count
+    is the calendar, a few hundred keys at any corpus size)."""
+    day_us = np.int64(86_400_000_000)
+
+    def distinct_ud(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = t.column("user_id").to_numpy()
+        comp = np.unique(uid.astype(np.int64) * (np.int64(1) << np.int64(42)) + (ts // day_us))
+        return pa.table(
+            {
+                "user_id": pa.array(comp >> np.int64(42), pa.int64()),
+                "day_i": pa.array(comp & ((np.int64(1) << np.int64(42)) - 1), pa.int64()),
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = np.unique(g.column("day_i").to_numpy())
+        retained = np.isin(days + 1, days)
+        return pa.table(
+            {
+                "day_i": pa.array(days, pa.int64()),
+                "active": pa.array(np.ones(len(days), np.int64), pa.int64()),
+                "retained": pa.array(retained.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        d = t.column("day_i").to_numpy()
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {
+                "day_i": pa.array(uniq, pa.int64()),
+                "active": pa.array(
+                    np.bincount(inv, weights=t.column("active").to_numpy()).astype(np.int64),
+                    pa.int64(),
+                ),
+                "retained": pa.array(
+                    np.bincount(inv, weights=t.column("retained").to_numpy()).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        days = (t.column("day_i").to_numpy() * day_us).astype("datetime64[us]")
+        return pa.table(
+            {
+                "day": pc.strftime(pa.array(days), format="%Y-%m-%d"),
+                "n_active": t.column("sum(active)"),
+                "n_retained": t.column("sum(retained)"),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(distinct_ud, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_i")
+        .aggregate(Sum("active"), Sum("retained"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def user_top_event_type(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Mode / argmax aggregate: each user's most frequent event type, with
     a deterministic tie-break (higher count wins, then lexicographically

@@ -718,3 +718,40 @@ def test_q3_shipping_priority_deterministic_and_ordered(ray_session):
     rev = t1.column("revenue_cents").to_pylist()
     assert rev == sorted(rev, reverse=True)
     assert t1.num_rows == 5
+
+
+def test_user_daily_retention_transitions(ray_session, tmp_path):
+    """Hand-built calendar: day gaps break retention, consecutive days count,
+    and multiple same-day events dedupe to one active user."""
+    import pyarrow.parquet as pq
+
+    d = np.datetime64("2026-02-01T08:00:00", "us")
+    day = np.timedelta64(1, "D")
+    rows = []
+    # user 1 active on days 0,1,3 (retained on 0 only); user 2 on days 0,1,2
+    # (retained on 0 and 1); user 2 has two events on day 0 (must dedupe)
+    for uid, offsets in ((1, [0, 1, 3]), (2, [0, 0, 1, 2])):
+        for o in offsets:
+            rows.append((uid, d + o * day))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]),
+            "event_type": pa.array(["x"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    from pdfredact_ray.pipelines.analytics import user_daily_retention
+
+    got = {
+        r["day"]: (r["n_active"], r["n_retained"])
+        for r in user_daily_retention(str(tmp_path)).take_all()
+    }
+    assert got == {
+        "2026-02-01": (2, 2),
+        "2026-02-02": (2, 1),
+        "2026-02-03": (1, 0),
+        "2026-02-04": (1, 0),
+    }
