@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_filter": A.quality_percentile_filter,
         # next-day retention (temporal self-join, expressed without the join)
         "user_daily_retention": A.user_daily_retention,
+        # ordered-sequence funnel (view -> click -> purchase progression)
+        "user_funnel_depth": A.user_funnel_depth,
         # TPC-H Q3 shape: segment ⋈ dated orders ⋈ shipped lineitems, top-k
         "q3_shipping_priority": R.q3_shipping_priority,
         "doc_group_sample": A.doc_group_sample,
@@ -1251,6 +1253,25 @@ def oracle_sql() -> dict[str, str]:
         # sees the distinct-value histogram), range join (VALUES interval
         # table mirrored from analytics.VALUE_BANDS), deterministic grouped
         # sampling (md5-of-id rank), TF-IDF (tf · ln(N/df), ties by term).
+        "user_funnel_depth": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+                  WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                  JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN v.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS INTEGER) AS funnel_depth
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
+        """,
         "user_daily_retention": """
             WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
             SELECT strftime(a.d, '%Y-%m-%d') AS day,

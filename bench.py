@@ -267,6 +267,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("q3_top_orders", lambda: RJ.q3_shipping_priority(sf_dir).num_rows)
         timed("bloom_gate", lambda: _consume(C.bloom_new_docs(sf_dir)))
         timed("daily_retention", lambda: _consume(AN.user_daily_retention(sf_dir)))
+        timed("funnel_depth", lambda: _consume(AN.user_funnel_depth(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

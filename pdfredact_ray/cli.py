@@ -179,7 +179,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
                 from pdfredact_ray.extend import write_plan
 
-                tbl_full = pa.concat_tables(ray.get(plan.to_arrow_refs()))
+                tbl_full = pa.concat_tables(ray.get(plan.materialize().to_arrow_refs()))
                 write_plan(
                     tbl_full, args.out,
                     source_path=args.input, ruleset_hash=ruleset_hash,

@@ -280,7 +280,7 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     blocks = [
         t
         for t in ray.get(
-            docs.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+            docs.map_batches(df_partial, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if t.num_columns
     ]
@@ -425,7 +425,7 @@ def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> rd.Dataset:
         ray.get(
             _docs(sf_dir, ["doc_id", "text"])
             .map_batches(hist_partial, batch_format="pyarrow")
-            .to_arrow_refs()
+            .materialize().to_arrow_refs()
         )
     )
     raw_v = hist_tbl.column("permille").to_numpy()
@@ -532,6 +532,113 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("active"), Sum("retained"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def user_funnel_depth(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> rd.Dataset:
+    """Ordered-sequence funnel: how deep each user progresses through
+    view → click → purchase, where each step must occur AT OR AFTER the
+    previous step's first occurrence (ties on identical timestamps count
+    as progression, mirroring the SQL oracle's >= joins).
+
+    Scale shape: only events of the funnel's step types survive the source
+    filter (a large reduction on real corpora), projected to three skinny
+    columns before the one groupby(user) exchange; each group then answers
+    the sequence constraint with one sort and a searchsorted per step.
+    Per-user locality is the partitioning assumption (as for the as-of
+    join); a user's funnel state is not batch-decomposable because step k's
+    cutoff depends on step k-1's first qualifying timestamp."""
+    steps_arr = list(steps)
+
+    def keep_steps(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"), value_set=pa.array(steps_arr))
+        return t.filter(m).select(["user_id", "event_type", "ts"])
+
+    def depth(g: pa.Table) -> pa.Table:
+        ts = (
+            g.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        et = np.asarray(g.column("event_type").to_pandas(), dtype=object)
+        order = np.argsort(ts, kind="stable")
+        ts_s, et_s = ts[order], et[order]
+        cutoff = None
+        d = 0
+        for step in steps_arr:
+            m = et_s == step
+            cand = ts_s[m]
+            if cutoff is not None:
+                cand = cand[cand >= cutoff]
+            if len(cand) == 0:
+                break
+            cutoff = cand[0]
+            d += 1
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "funnel_depth": pa.array([d], pa.int32()),
+            }
+        )
+
+    stepped = (
+        _events(sf_dir, ["user_id", "event_type", "ts"])
+        .map_batches(keep_steps, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(depth, batch_format="pyarrow")
+    )
+
+    # users with NO funnel-step events at all still report depth 0: re-add
+    # them from the distinct-user set (skinny map-side unique + is_in filter
+    # against the broadcast stepped-user set — O(users) rows)
+    def distinct_users(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": pa.array(np.unique(t.column("user_id").to_numpy()), pa.int64())}
+        )
+
+    all_users = (
+        _events(sf_dir, ["user_id"])
+        .map_batches(distinct_users, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+    )
+    blocks = [
+        t for t in ray.get(stepped.materialize().to_arrow_refs()) if t.num_columns
+    ]
+    stepped_tbl = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table(
+            {"user_id": pa.array([], pa.int64()), "funnel_depth": pa.array([], pa.int32())}
+        )
+    )
+    have = ray.put(stepped_tbl.column("user_id").combine_chunks())
+
+    def missing(t: pa.Table, ref) -> pa.Table:
+        seen = ray.get(ref) if not isinstance(ref, (pa.Array, pa.ChunkedArray)) else ref
+        if t.num_columns == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "funnel_depth": pa.array([], pa.int32())}
+            )
+        uid = t.column("user_id")
+        keep = pc.invert(pc.is_in(uid, value_set=seen))
+        miss = uid.filter(keep)
+        return pa.table(
+            {
+                "user_id": miss,
+                "funnel_depth": pa.array(np.zeros(len(miss), np.int32), pa.int32()),
+            }
+        )
+
+    zeros = all_users.map_batches(missing, fn_args=(have,), batch_format="pyarrow")
+    import ray.data as _rd
+
+    return _rd.from_arrow(stepped_tbl).union(zeros)
 
 
 def user_top_event_type(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:

@@ -137,7 +137,7 @@ def _collect(ds: rd.Dataset) -> Optional[pa.Table]:
     """Materialize a (small) dataset driver-side, tolerating the empty
     zero-column blocks Ray aggregates sometimes emit; None when nothing
     schema-bearing survives (e.g. a degenerate empty input)."""
-    tbls = [t for t in ray.get(ds.to_arrow_refs()) if len(t.schema)]
+    tbls = [t for t in ray.get(ds.materialize().to_arrow_refs()) if len(t.schema)]
     return pa.concat_tables(tbls) if tbls else None
 
 
@@ -269,7 +269,7 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
             for t in ray.get(
                 _docs(sf_dir, ["doc_id", "text"])
                 .map_batches(partial_counts, batch_format="pyarrow")
-                .to_arrow_refs()
+                .materialize().to_arrow_refs()
             )
             if len(t.schema)
         ]
@@ -352,7 +352,7 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     )
 
     if banded.count() <= DRIVER_BUCKET_MAX_ROWS:
-        tbl = pa.concat_tables(ray.get(banded.to_arrow_refs()))
+        tbl = pa.concat_tables(ray.get(banded.materialize().to_arrow_refs()))
         band = tbl.column("band_id").to_numpy().astype(np.int64)
         bhash = tbl.column("band_hash").to_numpy().astype(np.int64)
         did = tbl.column("doc_id").to_numpy().astype(np.int64)
@@ -442,7 +442,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pa.T
     oracle for the MinHash path (quadratic; at 100 TB you never run this,
     you run minhash_near_dup_pairs). Driver-side on purpose: it IS the
     brute-force baseline."""
-    tbl = pa.concat_tables(ray.get(_docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()))
+    tbl = pa.concat_tables(ray.get(_docs(sf_dir, ["doc_id", "text"]).materialize().to_arrow_refs()))
     ids = tbl.column("doc_id").to_pylist()
     shingles = [word_shingles(t, k) for t in tbl.column("text").to_pylist()]
     a_out, b_out, j_out = [], [], []
@@ -485,7 +485,7 @@ def decontaminate(sf_dir: str, k: int = 3, min_overlap: int = 2) -> rd.Dataset:
             docs.map_batches(
                 lambda t: t.filter(pc.equal(_mod50(t.column("doc_id")), 0)),
                 batch_format="pyarrow",
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
     )
     eval_shingles: set = set()
@@ -658,7 +658,7 @@ def top_quality_docs(sf_dir: str, k: int = 100) -> pa.Table:
         )
 
     parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(local_topk, batch_format="pyarrow")
-    tbl = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    tbl = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs()))
     ids = tbl.column("doc_id").to_numpy()
     order = np.lexsort((ids, -tbl.column("stop_permille").to_numpy()))[:k]
     return tbl.take(order)
@@ -759,7 +759,7 @@ def _query_set(sf_dir: str, n_queries: int = 8):
             emb.map_batches(
                 lambda t: t.filter(pc.less(t.column("vec_id"), n_queries)),
                 batch_format="pyarrow",
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
     )
     ids = q_tbl.column("vec_id").to_pylist()
@@ -804,7 +804,7 @@ def ann_topk_ivf(
     Approximate by construction — the oracle SQL replicates this exact
     parameterization from the shared centroids."""
     emb, q = _query_set(sf_dir, n_queries)
-    sample_tbl = pa.concat_tables(ray.get(emb.limit(2048).to_arrow_refs()))
+    sample_tbl = pa.concat_tables(ray.get(emb.limit(2048).materialize().to_arrow_refs()))
     sample = np.stack([np.asarray(v, np.float64) for v in sample_tbl.column("embedding").to_pylist()])
     cents = build_ivf_centroids(sample, n_cells)
     partials = emb.map_batches(
@@ -854,7 +854,7 @@ def embed_cosine_near_dup(
     if bucketed is None:
         bucketed = emb.count() > BROADCAST_EMB_MAX_ROWS
     if not bucketed:
-        full = pa.concat_tables(ray.get(emb.to_arrow_refs()))
+        full = pa.concat_tables(ray.get(emb.materialize().to_arrow_refs()))
         ids = full.column("vec_id").to_pylist()
         vecs = np.stack(
             [np.asarray(v, dtype=np.float64) for v in full.column("embedding").to_pylist()]
@@ -869,7 +869,7 @@ def embed_cosine_near_dup(
         )
         return pairs.sort(["id_a", "id_b"])
 
-    sample_tbl = pa.concat_tables(ray.get(emb.limit(4096).to_arrow_refs()))
+    sample_tbl = pa.concat_tables(ray.get(emb.limit(4096).materialize().to_arrow_refs()))
     sample = np.stack(
         [np.asarray(v, np.float64) for v in sample_tbl.column("embedding").to_pylist()]
     )

@@ -133,7 +133,7 @@ def apply_pipeline(
         plan_rows = plan.count()
         small = plan_rows <= broadcast_max_rows
         plan_tbl = (
-            pa.concat_tables(ray.get(plan.to_arrow_refs())) if small else None
+            pa.concat_tables(ray.get(plan.materialize().to_arrow_refs())) if small else None
         )
         plan_ds = plan if not small else None
 
@@ -269,7 +269,7 @@ def _apply_shuffle_join(turns, plan_ds, *, plan_rows, concurrency, batch_size):
                 ),
                 batch_format="pyarrow",
             )
-            .to_arrow_refs()
+            .materialize().to_arrow_refs()
         )
         if len(t.schema)
     ]

@@ -579,7 +579,7 @@ def q3_shipping_priority(
         )
 
     parts = pa.concat_tables(
-        ray.get(joined.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs())
+        ray.get(joined.map_batches(local_topk, batch_format="pyarrow").materialize().to_arrow_refs())
     )
     order = np.lexsort(
         (parts.column("l_orderkey").to_numpy(), -parts.column("revenue_cents").to_numpy())
@@ -857,7 +857,7 @@ def orders_above_customer_avg(sf_dir: str) -> rd.Dataset:
     parts = [
         t
         for t in ray.get(
-            orders.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+            orders.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if len(t.schema)
     ]

@@ -143,7 +143,7 @@ def plan_roundtrip_apply(sf_dir: str) -> rd.Dataset:
     turns_path = ensure_turns(sf_dir)
     plan_ds = plan_pipeline(_plain(read_turns(turns_path)), MASK_EQUALITY_RULES)
     plan_tbl = pa.concat_tables(
-        [t for t in ray.get(plan_ds.to_arrow_refs()) if len(t.schema)]
+        [t for t in ray.get(plan_ds.materialize().to_arrow_refs()) if len(t.schema)]
     )
     out_path = os.path.join(
         tempfile.gettempdir(),

@@ -313,7 +313,7 @@ def connected_components_distributed(edges: pa.Table, max_iters: int = 32) -> pa
         ds = _dedup_edges(
             hi_lo.groupby("src").map_groups(_small_star_group, batch_format="pyarrow")
         ).filter(expr="src != dst").materialize()
-        blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+        blocks = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_columns]
         tbl = (
             pa.concat_tables(blocks)
             if blocks

@@ -755,3 +755,40 @@ def test_user_daily_retention_transitions(ray_session, tmp_path):
         "2026-02-03": (1, 0),
         "2026-02-04": (1, 0),
     }
+
+
+def test_user_funnel_depth_sequence_rules(ray_session, tmp_path):
+    """Order matters: a click BEFORE the first view doesn't advance the
+    funnel; a same-timestamp step does; step-free users report depth 0."""
+    import pyarrow.parquet as pq
+
+    t0 = np.datetime64("2026-03-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    rows = [
+        # user 1: click at t0, view at t0+1, purchase t0+2 -> click precedes
+        # view so depth stops at 1 (view only... no click AFTER view)
+        (1, "click", t0), (1, "view", t0 + m), (1, "purchase", t0 + 2 * m),
+        # user 2: full ordered funnel
+        (2, "view", t0), (2, "click", t0 + m), (2, "purchase", t0 + 2 * m),
+        # user 3: view and click share one timestamp -> ties progress
+        (3, "view", t0), (3, "click", t0), (3, "purchase", t0),
+        # user 4: only non-step events -> depth 0
+        (4, "error", t0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    from pdfredact_ray.pipelines.analytics import user_funnel_depth
+
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in user_funnel_depth(str(tmp_path)).take_all()
+    }
+    assert got == {1: 1, 2: 3, 3: 3, 4: 0}
