@@ -476,11 +476,14 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
             .astype(np.int64)
         )
         uid = t.column("user_id").to_numpy()
-        comp = np.unique(uid.astype(np.int64) * (np.int64(1) << np.int64(42)) + (ts // day_us))
+        # composite key: DAY in the low 20 bits (covers ~2870 years of epoch
+        # days), user id in the high 43 — user cardinality is the unbounded
+        # dimension at scale, so it gets the wide field
+        comp = np.unique(uid.astype(np.int64) * (np.int64(1) << np.int64(20)) + (ts // day_us))
         return pa.table(
             {
-                "user_id": pa.array(comp >> np.int64(42), pa.int64()),
-                "day_i": pa.array(comp & ((np.int64(1) << np.int64(42)) - 1), pa.int64()),
+                "user_id": pa.array(comp >> np.int64(20), pa.int64()),
+                "day_i": pa.array(comp & ((np.int64(1) << np.int64(20)) - 1), pa.int64()),
             }
         )
 
