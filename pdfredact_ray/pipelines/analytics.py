@@ -557,7 +557,27 @@ def user_funnel_depth(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> rd.Dataset:
 
     def keep_steps(t: pa.Table) -> pa.Table:
         m = pc.is_in(t.column("event_type"), value_set=pa.array(steps_arr))
-        return t.filter(m).select(["user_id", "event_type", "ts"])
+        t = t.select(["user_id", "event_type", "ts"])
+        kept = t.filter(m)
+        # users whose batch rows are ALL non-step events still owe a depth-0
+        # row: forward one marker row per distinct such user (event_type '')
+        # instead of collecting the user universe driver-side — the exchange
+        # stays O(step events + distinct users x batches)
+        others = t.filter(pc.invert(m))
+        if others.num_rows == 0:
+            return kept
+        muids = np.unique(others.column("user_id").to_numpy())
+        markers = pa.table(
+            {
+                "user_id": pa.array(muids, pa.int64()),
+                "event_type": pa.array([""] * len(muids), pa.string()),
+                "ts": pa.array(
+                    np.zeros(len(muids), dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        return pa.concat_tables([kept.cast(markers.schema), markers])
 
     def depth(g: pa.Table) -> pa.Table:
         ts = (
@@ -589,59 +609,12 @@ def user_funnel_depth(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> rd.Dataset:
             }
         )
 
-    stepped = (
+    return (
         _events(sf_dir, ["user_id", "event_type", "ts"])
         .map_batches(keep_steps, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(depth, batch_format="pyarrow")
     )
-
-    # users with NO funnel-step events at all still report depth 0: re-add
-    # them from the distinct-user set (skinny map-side unique + is_in filter
-    # against the broadcast stepped-user set — O(users) rows)
-    def distinct_users(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"user_id": pa.array(np.unique(t.column("user_id").to_numpy()), pa.int64())}
-        )
-
-    all_users = (
-        _events(sf_dir, ["user_id"])
-        .map_batches(distinct_users, batch_format="pyarrow")
-        .groupby("user_id")
-        .count()
-    )
-    blocks = [
-        t for t in ray.get(stepped.materialize().to_arrow_refs()) if t.num_columns
-    ]
-    stepped_tbl = (
-        pa.concat_tables(blocks)
-        if blocks
-        else pa.table(
-            {"user_id": pa.array([], pa.int64()), "funnel_depth": pa.array([], pa.int32())}
-        )
-    )
-    have = ray.put(stepped_tbl.column("user_id").combine_chunks())
-
-    def missing(t: pa.Table, ref) -> pa.Table:
-        seen = ray.get(ref) if not isinstance(ref, (pa.Array, pa.ChunkedArray)) else ref
-        if t.num_columns == 0:
-            return pa.table(
-                {"user_id": pa.array([], pa.int64()), "funnel_depth": pa.array([], pa.int32())}
-            )
-        uid = t.column("user_id")
-        keep = pc.invert(pc.is_in(uid, value_set=seen))
-        miss = uid.filter(keep)
-        return pa.table(
-            {
-                "user_id": miss,
-                "funnel_depth": pa.array(np.zeros(len(miss), np.int32), pa.int32()),
-            }
-        )
-
-    zeros = all_users.map_batches(missing, fn_args=(have,), batch_format="pyarrow")
-    import ray.data as _rd
-
-    return _rd.from_arrow(stepped_tbl).union(zeros)
 
 
 def user_top_event_type(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
