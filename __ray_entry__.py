@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_retention": A.user_daily_retention,
         # ordered-sequence funnel (view -> click -> purchase progression)
         "user_funnel_depth": A.user_funnel_depth,
+        # audience overlap matrix via the 2^k mask histogram (no self-join)
+        "events_type_cooccurrence": A.events_type_cooccurrence,
         # TPC-H Q3 shape: segment ⋈ dated orders ⋈ shipped lineitems, top-k
         "q3_shipping_priority": R.q3_shipping_priority,
         "doc_group_sample": A.doc_group_sample,
@@ -1253,6 +1255,14 @@ def oracle_sql() -> dict[str, str]:
         # sees the distinct-value histogram), range join (VALUES interval
         # table mirrored from analytics.VALUE_BANDS), deterministic grouped
         # sampling (md5-of-id rank), TF-IDF (tf · ln(N/df), ties by term).
+        "events_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        """,
         "user_funnel_depth": """
             WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

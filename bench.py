@@ -268,6 +268,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("bloom_gate", lambda: _consume(C.bloom_new_docs(sf_dir)))
         timed("daily_retention", lambda: _consume(AN.user_daily_retention(sf_dir)))
         timed("funnel_depth", lambda: _consume(AN.user_funnel_depth(sf_dir)))
+        timed("type_cooccurrence", lambda: _consume(AN.events_type_cooccurrence(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

@@ -537,6 +537,91 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
     )
 
 
+COOC_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_cooccurrence(sf_dir: str, types: tuple = COOC_TYPES) -> rd.Dataset:
+    """Type co-occurrence matrix: for every unordered pair of event types,
+    how many users emitted BOTH — the classic audience-overlap query,
+    normally a distinct self-join.
+
+    Scale shape: the k known types become a k-bit mask. Map-side, each
+    batch collapses to distinct (user, mask) partials; one groupby(user)
+    ORs a user's masks into one int; a second map-side pass bincounts the
+    masks — a histogram of at most 2^k rows (32 here) REGARDLESS of user
+    count — and every pair count falls out of that tiny histogram with
+    pure arithmetic. No self-join, no pair-keyed shuffle, nothing
+    O(users) past the single user groupby."""
+    tlist = list(types)
+    tindex = {t: i for i, t in enumerate(tlist)}
+    k = len(tlist)
+
+    def user_mask_partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pandas(), dtype=object)
+        codes = np.array([tindex.get(x, -1) for x in et], dtype=np.int64)
+        m = codes >= 0
+        uid = t.column("user_id").to_numpy()[m]
+        mask = np.int64(1) << codes[m]
+        uniq, inv = np.unique(uid, return_inverse=True)
+        agg = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(agg, inv, mask)
+        return pa.table(
+            {"user_id": pa.array(uniq, pa.int64()), "mask": pa.array(agg, pa.int64())}
+        )
+
+    def or_masks(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id")[0].as_py()
+        mask = int(np.bitwise_or.reduce(g.column("mask").to_numpy()))
+        return pa.table(
+            {"user_id": pa.array([uid], pa.int64()), "mask": pa.array([mask], pa.int64())}
+        )
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        masks = t.column("mask").to_numpy()
+        hist = np.bincount(masks, minlength=1 << k).astype(np.int64)
+        return pa.table(
+            {
+                "mask": pa.array(np.arange(1 << k, dtype=np.int64), pa.int64()),
+                "n": pa.array(hist, pa.int64()),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        masks = t.column("mask").to_numpy()
+        uniq, inv = np.unique(masks, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, t.column("n").to_numpy())
+        rows_a, rows_b, rows_n = [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                both = (np.int64(1) << np.int64(i)) | (np.int64(1) << np.int64(j))
+                cnt = int(n[(uniq & both) == both].sum())
+                if cnt == 0:
+                    # a never-co-occurring pair has no row (matching the SQL
+                    # join's semantics, which cannot emit zero groups)
+                    continue
+                rows_a.append(tlist[i])
+                rows_b.append(tlist[j])
+                rows_n.append(cnt)
+        return pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "n_users": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(user_mask_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(or_masks, batch_format="pyarrow")
+        .map_batches(mask_hist, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    )
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 

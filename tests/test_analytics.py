@@ -792,3 +792,38 @@ def test_user_funnel_depth_sequence_rules(ray_session, tmp_path):
         for r in user_funnel_depth(str(tmp_path)).take_all()
     }
     assert got == {1: 1, 2: 3, 3: 3, 4: 0}
+
+
+def test_events_type_cooccurrence_mask_math(ray_session, tmp_path):
+    """Pair counts derived from the mask histogram match hand counts, a
+    never-co-occurring pair emits no row, and unknown types are ignored."""
+    import pyarrow.parquet as pq
+
+    t0 = np.datetime64("2026-04-01T00:00:00", "us")
+    rows = [
+        (1, "view"), (1, "click"), (1, "view"),      # user 1: view+click
+        (2, "view"), (2, "purchase"),                # user 2: view+purchase
+        (3, "view"), (3, "click"), (3, "purchase"),  # user 3: all three
+        (4, "weird-unknown-type"),                   # ignored entirely
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([t0] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    from pdfredact_ray.pipelines.analytics import events_type_cooccurrence
+
+    got = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in events_type_cooccurrence(str(tmp_path)).take_all()
+    }
+    assert got == {
+        ("click", "view"): 2,
+        ("purchase", "view"): 2,
+        ("click", "purchase"): 1,
+    }
