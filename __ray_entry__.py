@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_depth": A.user_funnel_depth,
         # audience overlap matrix via the 2^k mask histogram (no self-join)
         "events_type_cooccurrence": A.events_type_cooccurrence,
+        # LAG over an aggregated series (month-over-month revenue growth)
+        "orders_monthly_growth": A.orders_monthly_growth,
         # TPC-H Q3 shape: segment ⋈ dated orders ⋈ shipped lineitems, top-k
         "q3_shipping_priority": R.q3_shipping_priority,
         "doc_group_sample": A.doc_group_sample,
@@ -1255,6 +1257,18 @@ def oracle_sql() -> dict[str, str]:
         # sees the distinct-value histogram), range join (VALUES interval
         # table mirrored from analytics.VALUE_BANDS), deterministic grouped
         # sampling (md5-of-id rank), TF-IDF (tf · ln(N/df), ties by term).
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT month, revenue_cents,
+                   CAST(COALESCE(revenue_cents - LAG(revenue_cents)
+                                 OVER (ORDER BY month), 0) AS BIGINT) AS delta_cents
+            FROM m
+        """,
         "events_type_cooccurrence": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
             SELECT a.event_type AS type_a, b.event_type AS type_b,

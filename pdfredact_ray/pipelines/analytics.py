@@ -537,6 +537,72 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
     )
 
 
+def orders_monthly_growth(sf_dir: str) -> rd.Dataset:
+    """Month-over-month revenue: total order floor-cents per calendar month
+    plus the delta vs the previous month (0 for the first month — an
+    explicit zero, not NULL, so the value-hash compare is unambiguous).
+
+    The window-over-AGGREGATE shape: the raw-row windows
+    (events_moving_stats / events_trailing_hour) partition by entity, but
+    here the LAG runs over the aggregated series itself. Map-side (month,
+    cents) partials bound the one exchange by |months| x batches; the
+    series is then a single tiny block where sort + diff is trivial."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = np.asarray(
+            pc.strftime(
+                pc.floor_temporal(
+                    t.column("o_orderdate").cast(pa.timestamp("us")), unit="month"
+                ),
+                format="%Y-%m",
+            ).to_pandas(),
+            dtype=object,
+        )
+        cents = pc.cast(
+            pc.floor(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        ).to_numpy()
+        uniq, inv = np.unique(month, return_inverse=True)
+        return pa.table(
+            {
+                "month": pa.array(uniq, pa.string()),
+                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def series(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "month": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "delta_cents": pa.array([], pa.int64()),
+                }
+            )
+        m = np.asarray(t.column("month").to_pandas(), dtype=object)
+        c = t.column("cents").to_numpy()
+        uniq, inv = np.unique(m, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, c)
+        delta = np.zeros(len(uniq), np.int64)
+        delta[1:] = tot[1:] - tot[:-1]
+        return pa.table(
+            {
+                "month": pa.array(uniq, pa.string()),
+                "revenue_cents": pa.array(tot, pa.int64()),
+                "delta_cents": pa.array(delta, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(series, batch_format="pyarrow", batch_size=None)
+    )
+
+
 COOC_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -827,3 +827,37 @@ def test_events_type_cooccurrence_mask_math(ray_session, tmp_path):
         ("purchase", "view"): 2,
         ("click", "purchase"): 1,
     }
+
+
+def test_orders_monthly_growth_deltas(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4),
+            "o_totalprice": pa.array([10.0, 5.0, 20.0, 2.505]),
+            "o_orderdate": pa.array(
+                [
+                    np.datetime64("2026-01-05", "us"),
+                    np.datetime64("2026-01-20", "us"),
+                    np.datetime64("2026-02-01", "us"),
+                    np.datetime64("2026-04-15", "us"),  # month gap: delta vs Feb
+                ]
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    from pdfredact_ray.pipelines.analytics import orders_monthly_growth
+
+    got = {
+        r["month"]: (r["revenue_cents"], r["delta_cents"])
+        for r in orders_monthly_growth(str(tmp_path)).take_all()
+    }
+    assert got == {
+        "2026-01": (1500, 0),  # first month delta pinned to 0
+        "2026-02": (2000, 500),
+        "2026-04": (250, -1750),  # floor(2.505*100)=250; negative delta
+    }
