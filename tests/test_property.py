@@ -132,3 +132,97 @@ def test_mask_preserves_length_and_uncovered_chars(text):
     for i, (a, b) in enumerate(zip(text, red)):
         if not covered[i]:
             assert a == b, i
+
+
+# ------------------------- round-3 kernel property tests (hypothesis)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab x"), max_size=24), min_size=1, max_size=8
+    )
+)
+def test_repetition_signals_match_counter_reference(texts):
+    """The vectorized lexsort+RLE kernel agrees with a naive Counter-based
+    reference on arbitrary space-delimited strings (including empties and
+    runs of spaces, which split into empty-string words)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from pdfredact_ray.stages.textops import repetition_signals
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = repetition_signals(batch).to_pylist()
+    for row, text in zip(out, texts):
+        words = text.split(" ")
+        wc = Counter(words)
+        top_w, top_wc = min(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert row["n_words"] == len(words)
+        assert row["n_distinct_words"] == len(wc)
+        assert (row["top_word"], row["top_word_count"]) == (top_w, top_wc)
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        assert row["n_bigrams"] == len(bigrams)
+        if bigrams:
+            bc = Counter(bigrams)
+            top_b, top_bc = min(bc.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert (row["top_bigram"], row["top_bigram_count"]) == (top_b, top_bc)
+        else:
+            assert (row["top_bigram"], row["top_bigram_count"]) == ("", 0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=700), st.integers(50, 300), st.integers(25, 300))
+def test_chunking_reconstructs_original(text, size, stride):
+    """Chunk invariants for any (size, stride<=size): stripping each chunk's
+    overlap prefix and concatenating reconstructs the original text, and
+    every chunk except possibly the last has exactly `size` chars."""
+    import pyarrow as pa
+
+    from pdfredact_ray.stages.textops import chunk_documents
+
+    stride = min(stride, size)
+    batch = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array([text], pa.string())}
+    )
+    out = chunk_documents(batch, size=size, stride=stride)
+    chunks = out.column("chunk_text").to_pylist()
+    idxs = out.column("chunk_idx").to_pylist()
+    assert idxs == list(range(len(chunks)))
+    rebuilt = "".join(
+        c if i == 0 else c[size - stride :] for i, c in enumerate(chunks)
+    )
+    assert rebuilt == text
+    for c in chunks[:-1]:
+        assert len(c) == size
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120), st.text(max_size=120))
+def test_bloom_gate_membership_properties(ref_text, cand_text):
+    """No false negatives ever: a candidate equal to the reference text must
+    have all its bits present; bit positions are deterministic."""
+    import numpy as np
+
+    from pdfredact_ray.pipelines.corpus import BLOOM_BITS, _bloom_bits_of
+
+    words = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for b in _bloom_bits_of(ref_text):
+        words[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+
+    def maybe_member(text):
+        return all(
+            (words[b >> 6] >> np.uint64(b & 63)) & np.uint64(1)
+            for b in _bloom_bits_of(text)
+        )
+
+    assert maybe_member(ref_text)  # the defining guarantee
+    if cand_text != ref_text and maybe_member(cand_text):
+        # a false positive is allowed but must be REPRODUCIBLE
+        assert maybe_member(cand_text)
