@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": C.doc_token_counts,
         "doc_bpe_token_counts": C.doc_bpe_token_counts,
         "top_tokens": C.top_tokens,
+        # BPE-merge-step primitive: corpus-wide adjacent char-pair counts
+        "corpus_char_pair_counts": C.corpus_char_pair_counts,
         "doc_split": C.doc_split,
         "doc_quality": C.doc_quality,
         # Gopher-style repetition signals (dup-word / dup-bigram quality flags)
@@ -572,6 +574,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
                    CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stopword_ratio
             FROM c
+        """,
+        "corpus_char_pair_counts": """
+            WITH pairs AS (
+                SELECT substring(text, i, 2) AS pair
+                FROM documents,
+                     UNNEST(generate_series(1, greatest(length(text) - 1, 0))) AS t(i)
+            )
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+            GROUP BY pair
+            ORDER BY n DESC, pair ASC
+            LIMIT 50
         """,
         # repetition signals: counts + lexicographically-smallest-of-max
         # tie-break reproduced via ROW_NUMBER ordering; all-integer/string

@@ -270,6 +270,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("funnel_depth", lambda: _consume(AN.user_funnel_depth(sf_dir)))
         timed("type_cooccurrence", lambda: _consume(AN.events_type_cooccurrence(sf_dir)))
         timed("monthly_growth", lambda: _consume(AN.orders_monthly_growth(sf_dir)))
+        timed("char_pairs", lambda: _consume(C.corpus_char_pair_counts(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

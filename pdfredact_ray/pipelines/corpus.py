@@ -559,6 +559,72 @@ def doc_chunks(sf_dir: str) -> rd.Dataset:
     )
 
 
+def corpus_char_pair_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Corpus-wide adjacent character-pair frequencies, top-k — the counting
+    step of one BPE merge iteration (the tokenizer-training primitive).
+
+    Scale shape: each batch concatenates its docs' codepoint arrays with a
+    sentinel between docs (so no cross-doc pairs form) and collapses to
+    distinct (a, b, n) rows with one np.unique over 42-bit composite keys —
+    the partial is bounded by the batch's distinct-pair count, which at any
+    corpus size is at most |alphabet|^2, NOT row count. The final combine
+    sums those bounded histograms in one block and takes the top k with a
+    deterministic (count desc, pair asc) tie-break."""
+    SENT = np.int64(0x10FFFF + 1)  # outside Unicode: kills cross-doc pairs
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        parts = []
+        for s in texts:
+            parts.append(np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64))
+            parts.append(np.array([SENT], dtype=np.int64))
+        cp = np.concatenate(parts)
+        a, b = cp[:-1], cp[1:]
+        m = (a != SENT) & (b != SENT)
+        comp = a[m] * (np.int64(1) << np.int64(21)) + b[m]
+        uniq, counts = np.unique(comp, return_counts=True)
+        hi = (uniq >> np.int64(21)).astype(np.uint32)
+        lo = (uniq & ((np.int64(1) << np.int64(21)) - 1)).astype(np.uint32)
+        pairs = [
+            chr(int(x)) + chr(int(y)) for x, y in zip(hi, lo)
+        ]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        p = np.asarray(t.column("pair").to_pandas(), dtype=object)
+        n = t.column("n").to_numpy()
+        uniq, inv = np.unique(p, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        order = np.lexsort((uniq, -tot))[:k]
+        return pa.table(
+            {
+                "pair": pa.array(uniq[order], pa.string()),
+                "n": pa.array(tot[order], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
 BLOOM_BITS = 1 << 16  # m: filter width in bits (8 KiB of memory)
 BLOOM_K = 4  # hash functions
 

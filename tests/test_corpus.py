@@ -676,3 +676,24 @@ def test_bloom_bits_deterministic():
     assert a == b and len(a) == BLOOM_K
     assert all(0 <= x < BLOOM_BITS for x in a)
     assert _bloom_bits_of("other text") != a
+
+
+def test_char_pair_counts_no_cross_doc_pairs(ray_session, tmp_path):
+    """The sentinel between docs prevents cross-document pairs: two docs
+    'ab' + 'cd' yield pairs {ab, cd} only (never 'bc'), counts sum across
+    docs, and the tie-break is lexicographic among equal counts."""
+    from pdfredact_ray.pipelines.corpus import corpus_char_pair_counts
+
+    rows = {
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ab", "cd", "ab"], pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["t"] * 3),
+        "n_chars": pa.array([2] * 3, pa.int64()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    got = [
+        (r["pair"], r["n"])
+        for r in corpus_char_pair_counts(str(tmp_path)).take_all()
+    ]
+    assert got == [("ab", 2), ("cd", 1)]
