@@ -629,18 +629,18 @@ BLOOM_BITS = 1 << 16  # m: filter width in bits (8 KiB of memory)
 BLOOM_K = 4  # hash functions
 
 
-def _bloom_bits_of(text: str) -> list:
-    """The BLOOM_K bit positions for one text: md5(text || ':bloom' || i)
+def _bloom_bits_of(text: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> list:
+    """The k bit positions for one text: md5(text || ':bloom' || i)
     upper-64 little-endian mod m — the same md5_number_upper convention as
     doc_split, so the SQL oracle reproduces every bit exactly."""
     return [
         int.from_bytes(hashlib.md5(f"{text}:bloom{i}".encode()).digest()[:8], "little")
-        % BLOOM_BITS
-        for i in range(BLOOM_K)
+        % m_bits
+        for i in range(k)
     ]
 
 
-def bloom_new_docs(sf_dir: str) -> rd.Dataset:
+def bloom_new_docs(sf_dir: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> rd.Dataset:
     """Bloom-filter INCREMENTAL dedup — the cross-run membership gate: docs
     already ingested (here: the doc_id % 10 == 0 shard, standing in for a
     previous run's corpus) populate a fixed-size bit array; the incoming
@@ -656,16 +656,23 @@ def bloom_new_docs(sf_dir: str) -> rd.Dataset:
     driver ORs the handful of bitmaps and ``ray.put``s the result once; the
     candidate stream gates in a TASK-based map_batches against the
     broadcast bitmap. Memory is O(m) regardless of corpus size — the whole
-    point of a Bloom gate at 10^12 rows (size m to the expected reference
-    cardinality; 2^16 bits suits this test corpus's ~10^2 reference docs).
+    point of a Bloom gate at 10^12 rows.
+
+    SIZE m TO THE REFERENCE CARDINALITY (~10 bits per expected reference
+    element for ~1% FP at k=4). The 2^16 default suits the sf test
+    corpora's ~10^2 reference docs; measured at 2M docs with 200k
+    references, the default saturates (nearly every candidate reads
+    maybe-dup — the textbook undersized-filter failure) while
+    ``m_bits=1<<22`` (512 KiB) restores the expected pass-through. The
+    driver oracle checks the default geometry only.
     """
-    n_words = BLOOM_BITS // 64
+    n_words = m_bits // 64
 
     def bitmap_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
         words = np.zeros(n_words, dtype=np.uint64)
         for txt in t.column("text").filter(pa.array(ids % 10 == 0)).to_pylist():
-            for b in _bloom_bits_of(txt):
+            for b in _bloom_bits_of(txt, m_bits, k):
                 words[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
         return pa.table({"bitmap": pa.array([words.tobytes()], pa.binary())})
 
@@ -684,7 +691,7 @@ def bloom_new_docs(sf_dir: str) -> rd.Dataset:
         cand = t.filter(pa.array(ids % 10 != 0))
         keep = []
         for txt in cand.column("text").to_pylist():
-            bits = _bloom_bits_of(txt)
+            bits = _bloom_bits_of(txt, m_bits, k)
             keep.append(
                 not all((w[b >> 6] >> np.uint64(b & 63)) & np.uint64(1) for b in bits)
             )
