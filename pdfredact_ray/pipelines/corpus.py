@@ -115,11 +115,6 @@ def _doc_id_key(t: pa.Table) -> pa.Array:
     return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
 
 
-def _digest_key(t: pa.Table) -> pa.Array:
-    col = t.column("digest")
-    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-
-
 def _semi_join(t: pa.Table, values_ref, key_fn, invert: bool = False) -> pa.Table:
     """Task-based vectorized semi/anti-join: keep (or drop) rows whose
     derived key is in a broadcast value set. Used via plain-function
@@ -141,61 +136,52 @@ def _collect(ds: rd.Dataset) -> Optional[pa.Table]:
     return pa.concat_tables(tbls) if tbls else None
 
 
-def exact_dup_ids(sf_dir: str) -> pa.Array:
+def exact_dup_ids(sf_dir: str, n_buckets: int = 64) -> pa.Array:
     """Non-canonical exact-duplicate doc_ids (the DROP set for exact dedup):
-    O(dups), never O(corpus) — the broadcastable side by construction. The
-    digest pass streams the text; only (digest, doc_id) rows materialize."""
+    O(dups), never O(corpus) — the broadcastable side by construction.
+
+    ONE text pass (digest + bucket) and ONE skinny shuffle: digests land in
+    hash-prefix buckets (fixed group count, same bucketed-combine shape as
+    ``dedup_exact`` — the former ``groupby(digest).count()`` sort-aggregate
+    keyed on O(corpus) digest strings measured 15.7s at 2M docs vs ~3s for
+    the bucket shape), and each bucket emits the non-min members of every
+    >1 digest group directly — so the hot-digest collect, the second
+    semi-join text pass and the driver-side group dict all disappear. The
+    driver pulls only the O(dups) id column."""
     import hashlib
 
     def digest(batch: pa.Table) -> pa.Table:
-        d = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"digest": pa.array(d, pa.string()), "doc_id": batch.column("doc_id")})
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = docs.map_batches(digest, batch_format="pyarrow").materialize()
-    # Coalesce skinny micro-blocks before the shuffle: the sort-based
-    # aggregate pays a fixed per-block × per-partition cost (measured 2.7×
-    # on this corpus: 64 blocks of ~80 rows → 4.8s, 8 right-sized blocks →
-    # 1.8s). Block count tracks the DATA (≥64k rows per block), so at
-    # 100 TB this leaves the digest table alone.
-    right_sized = max(8, pairs.count() // 65536 + 1)
-    if right_sized < pairs.num_blocks():
-        pairs = pairs.repartition(right_sized)
-    # digests with >1 member (rare), then their non-min members: the driver
-    # pulls O(dups) rows, never O(corpus) — same shape as MinHash's
-    # hot-bucket fetch. The two filter passes below are one-shot vectorized
-    # is_in scans: TASK-based map_batches (no fixed actor pool — actor
-    # startup dominated the round-2 bench at ~seconds per pool). The text is
-    # streamed twice (digest pass + final filter) by construction: a fused
-    # single pass would have to materialize the corpus text, which is the
-    # wrong trade at 100 TB.
-    stats = pairs.groupby("digest").count()
-    hot_tbl = _collect(
-        stats.map_batches(
-            lambda t: t
-            if t.num_columns == 0
-            else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
-            batch_format="pyarrow",
+        texts = batch.column("text").to_pylist()
+        d = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        b = [int(h[:8], 16) % n_buckets for h in d]
+        return pa.table(
+            {
+                "digest": pa.array(d, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(b, pa.int64()),
+            }
         )
+
+    def dup_members(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        dg = np.asarray(g.column("digest").to_pandas(), dtype=object)
+        ids = g.column("doc_id").to_numpy()
+        order = np.lexsort((ids, dg))
+        dg_s, ids_s = dg[order], ids[order]
+        is_first = np.ones(len(dg_s), dtype=bool)
+        is_first[1:] = dg_s[1:] != dg_s[:-1]
+        return pa.table({"doc_id": pa.array(ids_s[~is_first], pa.int64())})
+
+    out = _collect(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_members, batch_format="pyarrow")
     )
-    if hot_tbl is None or hot_tbl.num_rows == 0:
+    if out is None or out.num_rows == 0:
         return pa.array([], type=pa.int64())
-    hot_digests = hot_tbl.column("digest").combine_chunks()
-
-    members = _collect(
-        pairs.map_batches(
-            _semi_join,
-            fn_args=(ray.put(hot_digests), _digest_key),
-            batch_format="pyarrow",
-        )
-    )
-    by_digest: dict = {}
-    for dg, d in zip(
-        members.column("digest").to_pylist(), members.column("doc_id").to_pylist()
-    ):
-        by_digest.setdefault(dg, []).append(d)
-    dups = sorted(d for ids in by_digest.values() for d in ids if d != min(ids))
-    return pa.array(dups, type=pa.int64())
+    return pa.array(sorted(out.column("doc_id").to_pylist()), type=pa.int64())
 
 
 def dedup_filter(sf_dir: str) -> rd.Dataset:
