@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- main-content extraction (HTML boilerplate strip + DOM heuristics)
         "html_extract_text": C.html_extract_text,
         "html_extract_redact": C.html_extract_redact,
+        # outlink extraction (URL-graph primitive; hash-checked vs the
+        # generator's construction-knowledge link list)
+        "html_extract_links": C.html_extract_links,
         # --- multimodal plumbing (deterministic decode stubs)
         "multimodal_decode": C.multimodal_decode,
         "multimodal_resize": C.multimodal_resize,
@@ -821,6 +824,13 @@ def oracle_sql() -> dict[str, str]:
         # extraction leg's exact oracle
         "html_extract_text": f"""
             SELECT doc_id, expected_main AS main_text
+            FROM read_parquet('{htmldocs}')
+        """,
+        "html_extract_links": f"""
+            SELECT doc_id,
+                   CAST(generate_subscripts(expected_links, 1) - 1 AS INTEGER)
+                       AS link_idx,
+                   unnest(expected_links) AS href
             FROM read_parquet('{htmldocs}')
         """,
         # ...and, since round 3, the expected REDACTED main text too

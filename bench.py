@@ -271,6 +271,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("type_cooccurrence", lambda: _consume(AN.events_type_cooccurrence(sf_dir)))
         timed("monthly_growth", lambda: _consume(AN.orders_monthly_growth(sf_dir)))
         timed("char_pairs", lambda: _consume(C.corpus_char_pair_counts(sf_dir)))
+        timed("html_links", lambda: _consume(C.html_extract_links(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
     return {

@@ -125,3 +125,29 @@ def strip_boilerplate(html: str) -> ExtractedDoc:
         n_blocks_dropped=dropped,
         link_density=(total_link / total_chars) if total_chars else 0.0,
     )
+
+
+class _LinkCollector(HTMLParser):
+    """Collects every <a href=...> in document order — the URL-graph
+    primitive of a web pipeline (outlink extraction feeds host-level
+    aggregation, crawl frontiers and link-based quality signals)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+                    break
+
+
+def extract_links(html: str) -> list:
+    """Every href of every anchor tag, in document order (case-insensitive
+    tag/attr names per the HTML spec — html.parser lowercases both)."""
+    p = _LinkCollector()
+    p.feed(html)
+    p.close()
+    return p.hrefs

@@ -976,6 +976,37 @@ def html_extract_text(sf_dir: str) -> rd.Dataset:
     )
 
 
+def html_extract_links(sf_dir: str) -> rd.Dataset:
+    """Outlink extraction (the URL-graph primitive): every <a href> of every
+    page in document order, 1 -> N flat rows (doc_id, link_idx, href). The
+    parser is the stdlib HTMLParser walking the real markup; the oracle
+    unnests the generator's construction-knowledge expected_links column —
+    the two agree only if the engine actually parses anchors correctly.
+    Pure per-doc map, zero shuffle."""
+    from pdfredact_ray.functions.htmlx import extract_links
+    from pdfredact_ray.sources.htmldocs import ensure_html_docs
+
+    docs = rd.read_parquet(ensure_html_docs(sf_dir), columns=["doc_id", "html"])
+
+    def links(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        out_id, out_idx, out_href = [], [], []
+        for d, h in zip(ids, t.column("html").to_pylist()):
+            for j, href in enumerate(extract_links(h)):
+                out_id.append(int(d))
+                out_idx.append(j)
+                out_href.append(href)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "link_idx": pa.array(out_idx, pa.int32()),
+                "href": pa.array(out_href, pa.string()),
+            }
+        )
+
+    return docs.map_batches(links, batch_format="pyarrow")
+
+
 def html_extract_redact(sf_dir: str) -> rd.Dataset:
     """Main-content extraction pipeline (the north-star HTML leg): synthetic
     HTML pages → DOM-heuristic boilerplate strip (HtmlExtractor actor pool)

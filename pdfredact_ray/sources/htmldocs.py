@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 from pdfredact_ray.sources.turns import _rng  # same deterministic rng recipe
 
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 DEFAULT_BASE_DIR = os.path.join(tempfile.gettempdir(), "pdfredact_html")
 
 _WORDS = (
@@ -71,13 +71,14 @@ def _mask_expected(s: str) -> Tuple[str, int]:
     return "".join(out), len(spans)
 
 
-def _page(rng) -> Tuple[str, str]:
-    """Returns (html, expected_main_text)."""
+def _page(rng):
+    """Returns (html, expected_main_text, expected_links_in_doc_order)."""
     paras = [_para(rng) for _ in range(int(rng.integers(2, 7)))]
-    nav = " ".join(
-        f'<a href="/{w}">{w}</a>' for w in ("home", "about", "contact", "login")
-    )
-    farm = " ".join(f'<a href="/t/{i}">tag{i}</a>' for i in range(int(rng.integers(5, 12))))
+    nav_words = ("home", "about", "contact", "login")
+    nav = " ".join(f'<a href="/{w}">{w}</a>' for w in nav_words)
+    n_farm = int(rng.integers(5, 12))
+    farm = " ".join(f'<a href="/t/{i}">tag{i}</a>' for i in range(n_farm))
+    links = [f"/{w}" for w in nav_words] + [f"/t/{i}" for i in range(n_farm)]
     body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
     html = f"""<!DOCTYPE html>
 <html><head><title>page</title><style>p {{ margin: 0 }}</style>
@@ -95,7 +96,7 @@ def _page(rng) -> Tuple[str, str]:
     # footer-free survivors: the link farm block has density > 0.5 (dropped),
     # aside/footer are kill-listed.
     expected = "\n".join(" ".join(p.split()) for p in paras)
-    return html, expected
+    return html, expected, links
 
 
 def generate_html_table(n_docs: int, label: str = "html", seed: int = 42) -> pa.Table:
@@ -104,10 +105,12 @@ def generate_html_table(n_docs: int, label: str = "html", seed: int = 42) -> pa.
     mains: List[str] = []
     reds: List[str] = []
     nreds: List[int] = []
+    linkss: List[List[str]] = []
     for _ in range(n_docs):
-        h, m = _page(rng)
+        h, m, links = _page(rng)
         htmls.append(h)
         mains.append(m)
+        linkss.append(links)
         r, n = _mask_expected(m)
         reds.append(r)
         nreds.append(n)
@@ -118,6 +121,9 @@ def generate_html_table(n_docs: int, label: str = "html", seed: int = 42) -> pa.
             "expected_main": pa.array(mains, type=pa.string()),
             "expected_redacted": pa.array(reds, type=pa.string()),
             "expected_n_redactions": pa.array(np.array(nreds, dtype=np.int32)),
+            # links ground truth: every href in document order — construction
+            # knowledge, never computed by running the engine's parser
+            "expected_links": pa.array(linkss, type=pa.list_(pa.string())),
         }
     )
 

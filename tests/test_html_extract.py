@@ -128,3 +128,38 @@ def test_pipeline_extract_then_redact_matches_pure_oracle(ray_session, tmp_path)
         assert got.loc[row.doc_id, "n_redactions"] == row.expected_n_redactions
     # the corpus actually injects sensitive content into main text
     assert (got["n_redactions"] > 0).any()
+
+
+def test_extract_links_parser_edge_cases():
+    """Real-parser behaviors the generator corpus can't exercise: uppercase
+    tags, unquoted hrefs, anchors without href, nested markup, and entity
+    refs inside attribute values."""
+    from pdfredact_ray.functions.htmlx import extract_links
+
+    html = (
+        '<A HREF="/UP">x</A>'
+        "<a href=/unquoted>y</a>"
+        "<a name=anchor-only>z</a>"
+        '<div><a href="/nested"><b>deep</b></a></div>'
+        '<a href="/q?a=1&amp;b=2">ent</a>'
+    )
+    assert extract_links(html) == ["/UP", "/unquoted", "/nested", "/q?a=1&b=2"]
+
+
+def test_html_extract_links_matches_ground_truth(ray_session):
+    import duckdb
+
+    from pdfredact_ray.pipelines.corpus import html_extract_links
+    from pdfredact_ray.sources.htmldocs import ensure_html_docs
+
+    got = html_extract_links("sf0.001").to_pandas()
+    path = ensure_html_docs("sf0.001")
+    exp = duckdb.sql(
+        f"""SELECT doc_id, CAST(generate_subscripts(expected_links, 1) - 1 AS INTEGER)
+                AS link_idx, unnest(expected_links) AS href
+            FROM read_parquet('{path}')"""
+    ).df()
+    cols = ["doc_id", "link_idx", "href"]
+    g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    x = exp[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert g.equals(x)
