@@ -1438,7 +1438,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf JOIN df USING (term)
             ) WHERE rank <= 3
         """,
-        # All 76 queries have oracles: redact_full /
+        # All 77 queries have oracles: redact_full /
         # redact_fragment_digits / html_extract_redact via the generator
         # ground-truth sidecar pattern; ann_topk_ivf via shared-centroid SQL
         # replication; minhash pairs / components / dedup filter via the
