@@ -310,20 +310,141 @@ def _buckets_to_pairs(key_s: np.ndarray, did_s: np.ndarray, cap: int = BUCKET_ME
     return pairs_set, capped_buckets, dropped_members
 
 
+def _emit_bucket_pairs(g: pa.Table) -> pa.Table:
+    """Per-salt-group candidate-pair emission (the distributed leg of
+    ``minhash_near_dup_pairs``): every (bucket_key, doc_id) row of the
+    band-buckets hashing to this salt arrives together — a bucket never
+    spans salt groups because salt = bucket_key % n_salts — so one sorted
+    numpy sweep reuses ``_buckets_to_pairs`` verbatim (same 64-member
+    sorted-doc_id cap as the driver path and the SQL oracle). Capped-bucket
+    truncation is surfaced as ONE marker row (doc_a = -capped_buckets,
+    doc_b = -dropped_members), filtered and summed by the caller — the
+    no-silent-caps contract survives distribution."""
+    if g.num_columns == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    key = g.column("bucket_key").to_numpy().astype(np.int64)
+    did = g.column("doc_id").to_numpy().astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    pairs_set, capped, dropped = _buckets_to_pairs(key[order], did[order])
+    pairs = sorted(pairs_set)
+    da = [a for a, _ in pairs]
+    db = [b for _, b in pairs]
+    if capped:
+        da.append(-capped)
+        db.append(-dropped)
+    return pa.table(
+        {"doc_a": pa.array(da, pa.int64()), "doc_b": pa.array(db, pa.int64())}
+    )
+
+
+# Target (bucket_key, doc_id) rows per salt group in the distributed pair
+# emission — bounds any one group's memory no matter the corpus size.
+SALT_GROUP_TARGET_ROWS = 2_000_000
+
+
+def _minhash_pairs_distributed(
+    banded: rd.Dataset, docs: rd.Dataset, n_banded: int, threshold: float
+):
+    """Fully-distributed candidate generation + verification — nothing
+    O(candidates) ever lands on the driver:
+
+    1. salt = fused bucket key % n_salts (n_salts sized so a salt group
+       holds ~SALT_GROUP_TARGET_ROWS banded rows); ``groupby(salt).
+       map_groups`` emits each bucket's pairs with the same vectorized
+       sweep as the driver path — the ONLY corpus-sized exchange, and it
+       moves 3 small ints per (doc, band).
+    2. cross-band pair dedup via ``groupby([doc_a, doc_b]).count()`` —
+       O(candidate pairs), already tiny by LSH construction.
+    3. verify via TWO hash joins against the docs table on doc_id (texts
+       reach the verify kernel co-partitioned — no driver text dict, no
+       broadcast; the joins move only candidate-matching doc texts), then a
+       task-based exact-Jaccard ``map_batches``
+       (``stages/dedup.verify_pairs_with_texts``).
+
+    Returns (verified_pairs_dataset, capped_buckets, dropped_members)."""
+    from pdfredact_ray.stages.dedup import verify_pairs_with_texts
+
+    n_salts = max(64, n_banded // SALT_GROUP_TARGET_ROWS)
+
+    def keyed(t: pa.Table, n=np.int64(n_salts)) -> pa.Table:
+        key = _fused_bucket_key(t)
+        knp = key.to_numpy()
+        return pa.table(
+            {
+                "salt": pa.array(knp % n, pa.int64()),
+                "bucket_key": key,
+                "doc_id": t.column("doc_id"),
+            }
+        )
+
+    pairs_all = (
+        banded.map_batches(keyed, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
+        .materialize()  # O(candidate pairs); also kills the filter double-run
+    )
+    markers = _collect(pairs_all.filter(expr="doc_a < 0"))
+    capped_buckets = dropped_members = 0
+    if markers is not None and markers.num_rows:
+        capped_buckets = -int(pc.sum(markers.column("doc_a")).as_py())
+        dropped_members = -int(pc.sum(markers.column("doc_b")).as_py())
+
+    pairs_nonneg = pairs_all.filter(expr="doc_a >= 0").materialize()
+    if pairs_nonneg.count() == 0:
+        return None, capped_buckets, dropped_members
+    distinct = (
+        pairs_nonneg.groupby(["doc_a", "doc_b"])
+        .count()
+        .map_batches(
+            lambda t: t if t.num_columns == 0 else t.drop_columns(["count()"]),
+            batch_format="pyarrow",
+        )
+    )
+    # Few partitions on the pre-reduced pair side (measured: 8 beat 24 at
+    # 150k rows); the docs side streams through the same partition count.
+    num_partitions = max(8, default_concurrency() // 3)
+    docs_a = docs.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_id"), "text_a": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    docs_b = docs.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc_id"), "text_b": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    j1 = distinct.join(
+        docs_a, join_type="inner", num_partitions=num_partitions, on=("doc_a",)
+    )
+    j2 = j1.join(
+        docs_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",)
+    )
+    verified = j2.map_batches(
+        verify_pairs_with_texts,
+        fn_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+    )
+    return verified, capped_buckets, dropped_members
+
+
 def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     """MinHash+LSH near-dup: shingle → 64 minhashes → 16 bands → explode to
     (band, band_hash, doc_id) → bucket → candidate pairs → exact
     shingle-Jaccard verify. Returns the verified pair table
     (doc_a, doc_b, jaccard) deduped across bands.
 
-    Size-adaptive bucketing: the banded table is 3 small ints per (doc,
-    band) — orders of magnitude lighter than the text. Up to
-    ``DRIVER_BUCKET_MAX_ROWS`` it is collected and bucketed driver-side with
-    one numpy argsort (~0.02s vs ~6-10s for a tiny-block groupby shuffle,
-    which pays per-block scheduling on data this small). Past the threshold
-    the distributed groupby-count path takes over — the 100 TB shape. The
-    verify side broadcasts candidate texts (ray.put once); at 100 TB it
-    becomes a hash join on doc_id — the candidate set is tiny either way."""
+    Size-adaptive: the banded table is 3 small ints per (doc, band) —
+    orders of magnitude lighter than the text. Up to
+    ``DRIVER_BUCKET_MAX_ROWS`` it is collected and bucketed driver-side
+    with one numpy argsort (~0.02s vs seconds of tiny-block shuffle
+    overhead at test scale), and the verify side broadcasts candidate
+    texts (ray.put once). Past the gate the 100 TB shape takes over:
+    ``_minhash_pairs_distributed`` — salted ``groupby.map_groups`` pair
+    emission, distributed cross-band dedup, and hash-join verification, so
+    neither the pair set nor any text dict ever materializes driver-side
+    (only the final verified near-dup table does, and only because the
+    API returns a table; ``near_dup_components`` can consume the Dataset).
+    Both paths are pytest-pinned equal."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(
         MinHasher, batch_format="pyarrow", concurrency=default_concurrency()
@@ -337,48 +458,37 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         }
     )
 
-    if banded.count() <= DRIVER_BUCKET_MAX_ROWS:
-        tbl = pa.concat_tables(ray.get(banded.materialize().to_arrow_refs()))
-        band = tbl.column("band_id").to_numpy().astype(np.int64)
-        bhash = tbl.column("band_hash").to_numpy().astype(np.int64)
-        did = tbl.column("doc_id").to_numpy().astype(np.int64)
-        key = band * (np.int64(1) << np.int64(33)) + bhash  # band_hash < 2^32
-        order = np.argsort(key, kind="stable")
-        pairs_set, capped_buckets, dropped_members = _buckets_to_pairs(
-            key[order], did[order]
+    n_banded = banded.count()
+    if n_banded > DRIVER_BUCKET_MAX_ROWS:
+        verified, capped_buckets, dropped_members = _minhash_pairs_distributed(
+            banded, docs, n_banded, threshold
         )
-    else:
-        # distributed path: ONE vectorized count shuffle finds hot buckets
-        # (>1 member — rare by LSH construction), then only their members
-        # come back to the driver: O(near-dups), not O(corpus). The member
-        # fetch is a one-shot task-based is_in semi-join over a fused int64
-        # bucket key (band_hash < 2^32, band_id < 16, so band_id*2^33 +
-        # band_hash is collision-free); the hot-key set is ray.put once and
-        # read from the local object store per task.
-        counts = banded.groupby(["band_id", "band_hash"]).count()
-        hot_tbl = _collect(
-            counts.map_batches(
-                lambda t: t
-                if t.num_columns == 0
-                else t.filter(pc.greater(t.column("count()"), 1)).drop_columns(["count()"]),
-                batch_format="pyarrow",
+        if capped_buckets:
+            _log.warning(
+                "minhash_near_dup_pairs: %d bucket(s) over %d members; %d member(s) "
+                "dropped from pair generation (exact-dup pathology — run dedup first)",
+                capped_buckets, BUCKET_MEMBER_CAP, dropped_members,
             )
-        )
-        if hot_tbl is None or hot_tbl.num_rows == 0:
-            return empty
-        members = _collect(
-            banded.map_batches(
-                _semi_join,
-                fn_args=(ray.put(_fused_bucket_key(hot_tbl)), _fused_bucket_key),
-                batch_format="pyarrow",
-            )
-        )
-        key_np = _fused_bucket_key(members).to_numpy().astype(np.int64)
-        did_np = members.column("doc_id").to_numpy().astype(np.int64)
-        order = np.argsort(key_np, kind="stable")
-        pairs_set, capped_buckets, dropped_members = _buckets_to_pairs(
-            key_np[order], did_np[order]
-        )
+        meta = {
+            b"minhash.capped_buckets": str(capped_buckets).encode(),
+            b"minhash.dropped_members": str(dropped_members).encode(),
+        }
+        out = _collect(verified) if verified is not None else None
+        if out is None or out.num_rows == 0:
+            return empty.replace_schema_metadata(meta)
+        return out.sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        ).replace_schema_metadata(meta)
+
+    tbl = pa.concat_tables(ray.get(banded.to_arrow_refs()))
+    band = tbl.column("band_id").to_numpy().astype(np.int64)
+    bhash = tbl.column("band_hash").to_numpy().astype(np.int64)
+    did = tbl.column("doc_id").to_numpy().astype(np.int64)
+    key = band * (np.int64(1) << np.int64(33)) + bhash  # band_hash < 2^32
+    order = np.argsort(key, kind="stable")
+    pairs_set, capped_buckets, dropped_members = _buckets_to_pairs(
+        key[order], did[order]
+    )
 
     if capped_buckets:
         _log.warning(

@@ -69,22 +69,45 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids: List[int] = []
-        band_ids: List[int] = []
-        band_hashes: List[int] = []
-        ids = batch.column("doc_id").to_pylist()
-        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
-            sig = self.signature(text)
+        """Batch-vectorized signatures: shingle hashes for ALL docs flatten
+        into one array, the universal-hash matrix ``(s*a + b) % p`` is one
+        numpy op over (total_shingles, 64), and per-doc column-mins come
+        from one ``np.minimum.reduceat`` over the doc boundaries — identical
+        output to the per-doc ``signature()`` path (pytest-pinned), ~no
+        per-doc Python except the string shingling itself. Band hashes stay
+        crc32 over the packed 4-uint64 chunk (the SQL-sidecar contract)."""
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        counts = np.zeros(n, dtype=np.int64)
+        chunks: List[np.ndarray] = []
+        for i, text in enumerate(texts):
+            sh = word_shingles(text, self.k)
+            counts[i] = len(sh)
+            if sh:
+                chunks.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+        sigs = np.zeros((n, _N_HASHES), dtype=np.uint64)
+        if chunks:
+            s = np.concatenate(chunks)
+            vals = (s[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            nonempty = counts > 0
+            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1].astype(np.int64)))
+            sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+        band_rows = sigs.reshape(n, _N_BANDS, _ROWS_PER_BAND)
+        band_hashes = np.empty(n * _N_BANDS, dtype=np.int64)
+        crc = zlib.crc32
+        pos = 0
+        for i in range(n):
+            row = band_rows[i]
             for band in range(_N_BANDS):
-                chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-                h = zlib.crc32(chunk.tobytes())
-                doc_ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(h)
+                band_hashes[pos] = crc(row[band].tobytes())
+                pos += 1
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "band_id": pa.array(band_ids, type=pa.int32()),
+                "doc_id": pa.array(np.repeat(ids, _N_BANDS), type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(_N_BANDS, dtype=np.int32), n), type=pa.int32()
+                ),
                 "band_hash": pa.array(band_hashes, type=pa.int64()),
             }
         )
@@ -98,23 +121,34 @@ class PairVerifier:
     the verification kernel is unchanged.
     """
 
+    # Per-actor shingle-cache bound: dict insertion order gives cheap FIFO
+    # eviction; candidates repeat within a bucket neighborhood so locality
+    # is short-range and FIFO loses almost nothing.
+    CACHE_MAX = 65_536
+
     def __init__(self, texts_ref, shingle_k: int = 3, threshold: float = 0.8):
         import ray
 
         self.texts = ray.get(texts_ref) if not isinstance(texts_ref, dict) else texts_ref
         self.k = shingle_k
         self.threshold = threshold
+        self._cache: dict = {}
+
+    def _shingles(self, d) -> Set[int]:
+        sh = self._cache.get(d)
+        if sh is None:
+            sh = word_shingles(self.texts.get(d, ""), self.k)
+            if len(self._cache) >= self.CACHE_MAX:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[d] = sh
+        return sh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_a = batch.column("doc_a").to_pylist()
         doc_b = batch.column("doc_b").to_pylist()
         keep_a, keep_b, jac = [], [], []
-        cache = {}
         for a, b in zip(doc_a, doc_b):
-            for d in (a, b):
-                if d not in cache:
-                    cache[d] = word_shingles(self.texts.get(d, ""), self.k)
-            j = jaccard(cache[a], cache[b])
+            j = jaccard(self._shingles(a), self._shingles(b))
             if j >= self.threshold:
                 keep_a.append(a)
                 keep_b.append(b)
@@ -126,6 +160,45 @@ class PairVerifier:
                 "jaccard": pa.array(jac, type=pa.float64()),
             }
         )
+
+
+def verify_pairs_with_texts(
+    batch: pa.Table, shingle_k: int = 3, threshold: float = 0.8
+) -> pa.Table:
+    """Stateless verify kernel for the HASH-JOIN shape: each row already
+    carries both texts (doc_a, doc_b, text_a, text_b) — the 100 TB path
+    where candidate texts arrive via ``Dataset.join`` on doc_id instead of
+    a driver-broadcast dict. Task-based ``map_batches`` (no actor pool: a
+    one-shot verify stage shouldn't pay actor startup, and the per-batch
+    cache below bounds recompute)."""
+    keep_a, keep_b, jac = [], [], []
+    cache: dict = {}
+
+    def sh_of(d, text):
+        s = cache.get(d)
+        if s is None:
+            s = word_shingles(text if text is not None else "", shingle_k)
+            cache[d] = s
+        return s
+
+    for a, b, ta, tb in zip(
+        batch.column("doc_a").to_pylist(),
+        batch.column("doc_b").to_pylist(),
+        batch.column("text_a").to_pylist(),
+        batch.column("text_b").to_pylist(),
+    ):
+        j = jaccard(sh_of(a, ta), sh_of(b, tb))
+        if j >= threshold:
+            keep_a.append(a)
+            keep_b.append(b)
+            jac.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(keep_a, type=pa.int64()),
+            "doc_b": pa.array(keep_b, type=pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
+    )
 
 
 class SimHasher:
@@ -253,28 +326,46 @@ def _small_star_group(g: pa.Table) -> pa.Table:
     )
 
 
-def connected_components_distributed(edges: pa.Table, max_iters: int = 32) -> pa.Table:
+def connected_components_distributed(edges, max_iters: int = 32) -> pa.Table:
     """Large-star/small-star over a Ray Dataset built from the (doc_a,
     doc_b) pair table; returns the same (doc_id, component) table as
     ``union_find_components``. Convergence = the edge multiset checksum and
     count are stable across a full large+small round (both phases are
-    monotone toward the star fixpoint, so a stable pair is a fixpoint)."""
+    monotone toward the star fixpoint, so a stable pair is a fixpoint).
+
+    ``edges`` is a pa.Table OR an already-distributed Dataset with
+    (doc_a, doc_b) columns — the latter keeps the crawl-scale pair list
+    off the driver end to end (pairs come straight from the bucketed
+    map_groups emission in ``minhash_near_dup_pairs``)."""
     import ray
     import ray.data as rd
 
-    if edges.num_rows == 0:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
-        )
-
-    ds = rd.from_arrow(
-        pa.table(
-            {
-                "src": edges.column("doc_a").cast(pa.int64()),
-                "dst": edges.column("doc_b").cast(pa.int64()),
-            }
-        )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
     )
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return empty
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": edges.column("doc_a").cast(pa.int64()),
+                    "dst": edges.column("doc_b").cast(pa.int64()),
+                }
+            )
+        )
+    else:
+        ds = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("doc_a").cast(pa.int64()),
+                    "dst": t.column("doc_b").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if ds.count() == 0:
+            return empty
     prev_sig = None
     for _ in range(max_iters):
         # large-star over UNDIRECTED adjacency: emit both directions
@@ -313,7 +404,7 @@ def connected_components_distributed(edges: pa.Table, max_iters: int = 32) -> pa
         ds = _dedup_edges(
             hi_lo.groupby("src").map_groups(_small_star_group, batch_format="pyarrow")
         ).filter(expr="src != dst").materialize()
-        blocks = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_columns]
+        blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
         tbl = (
             pa.concat_tables(blocks)
             if blocks

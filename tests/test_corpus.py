@@ -697,3 +697,70 @@ def test_char_pair_counts_no_cross_doc_pairs(ray_session, tmp_path):
         for r in corpus_char_pair_counts(str(tmp_path)).take_all()
     ]
     assert got == [("ab", 2), ("cd", 1)]
+
+
+def test_minhasher_vectorized_matches_per_doc_signature(docs):
+    """The batch-vectorized MinHasher.__call__ (flattened shingle hashes +
+    one universal-hash matrix + np.minimum.reduceat) must emit the exact
+    band table the per-doc signature() path implies — including empty and
+    sub-k-token documents."""
+    import zlib
+
+    from pdfredact_ray.stages.dedup import MinHasher, _N_BANDS, _ROWS_PER_BAND
+
+    mh = MinHasher()
+    texts = list(docs.text.iloc[:200]) + ["", "one", "two words", "a b c d e"]
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    got = mh(tbl)
+    exp_rows = []
+    for d, t in zip(ids, texts):
+        sig = mh.signature(t)
+        for band in range(_N_BANDS):
+            chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+            exp_rows.append((d, band, zlib.crc32(chunk.tobytes())))
+    assert got.column("doc_id").to_pylist() == [r[0] for r in exp_rows]
+    assert got.column("band_id").to_pylist() == [r[1] for r in exp_rows]
+    assert got.column("band_hash").to_pylist() == [r[2] for r in exp_rows]
+
+
+def test_near_dup_components_forced_distributed_matches(ray_session):
+    """Both gates forced to the distributed path (salted map_groups pair
+    emission + hash-join verify + large-star/small-star components) must
+    reproduce the driver-path clustering and filter exactly."""
+    import pdfredact_ray.pipelines.corpus as cc
+
+    fast_comp = cc.near_dup_components(SF, threshold=0.5)
+    fast_filter = _pdf(cc.near_dup_dedup_filter(SF, threshold=0.5)).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    saved_rows, saved_edges = cc.DRIVER_BUCKET_MAX_ROWS, cc.CC_DRIVER_MAX_EDGES
+    try:
+        cc.DRIVER_BUCKET_MAX_ROWS = 0
+        cc.CC_DRIVER_MAX_EDGES = 0
+        dist_comp = cc.near_dup_components(SF, threshold=0.5)
+        dist_filter = _pdf(cc.near_dup_dedup_filter(SF, threshold=0.5)).sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+    finally:
+        cc.DRIVER_BUCKET_MAX_ROWS, cc.CC_DRIVER_MAX_EDGES = saved_rows, saved_edges
+    assert fast_comp.sort_by("doc_id").equals(dist_comp.sort_by("doc_id"))
+    pd.testing.assert_frame_equal(fast_filter, dist_filter)
+
+
+def test_pair_verifier_cache_is_bounded():
+    from pdfredact_ray.stages.dedup import PairVerifier
+
+    n = 300
+    texts = {i: f"doc number {i} with some shared words" for i in range(n)}
+    v = PairVerifier(texts, threshold=0.0)
+    v.CACHE_MAX = 64
+    batch = pa.table(
+        {
+            "doc_a": pa.array(list(range(0, n, 2)), pa.int64()),
+            "doc_b": pa.array(list(range(1, n, 2)), pa.int64()),
+        }
+    )
+    out = v(batch)
+    assert out.num_rows == n // 2  # threshold 0 keeps every pair
+    assert len(v._cache) <= 64
