@@ -106,9 +106,20 @@ def _build_flags(rule: RedactionRule) -> int:
         flags |= re.IGNORECASE
     if rule.regex_options is not None:
         flags = 0
-        for name in rule.regex_options:
+        opts = rule.regex_options
+        # .NET spells combined flags "IgnoreCase, Multiline"; accept that
+        # string form as well as any iterable of names
+        if isinstance(opts, str):
+            opts = [p.strip() for p in opts.split(",") if p.strip()]
+        for name in opts:
             if name not in _REGEX_OPTION_MAP:
-                raise ValueError(f"unsupported RegexOptions value: {name!r}")
+                raise ValueError(
+                    f"unsupported RegexOptions value: {name!r} — this engine "
+                    f"implements the documented .NET/Python common subset "
+                    f"({', '.join(sorted(_REGEX_OPTION_MAP))}); RightToLeft, "
+                    f"ECMAScript and NonBacktracking diverge semantically and "
+                    f"are rejected by policy"
+                )
             flags |= _REGEX_OPTION_MAP[name]
     return flags
 

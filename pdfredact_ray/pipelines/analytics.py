@@ -45,6 +45,8 @@ import re
 from collections import Counter
 
 import numpy as np
+
+from pdfredact_ray.functions.ints import group_sum
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -421,23 +423,33 @@ def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> rd.Dataset:
             }
         )
 
-    hist_tbl = pa.concat_tables(
-        ray.get(
+    hist_blocks = [
+        t
+        for t in ray.get(
             _docs(sf_dir, ["doc_id", "text"])
             .map_batches(hist_partial, batch_format="pyarrow")
             .materialize().to_arrow_refs()
         )
-    )
-    raw_v = hist_tbl.column("permille").to_numpy()
-    raw_n = hist_tbl.column("n").to_numpy()
-    vals, inv = np.unique(raw_v, return_inverse=True)
-    n = np.zeros(len(vals), np.int64)
-    np.add.at(n, inv, raw_n)
-    cum = np.cumsum(n)
-    total = int(cum[-1])
-    # percentile_disc: smallest value with cume_dist >= p (index ceil(p*n)-1)
-    idx = max(int(math.ceil(p * total)) - 1, 0)
-    threshold = int(vals[int(np.searchsorted(cum, idx + 1))])
+        if len(t.schema) and t.num_rows
+    ]
+    if not hist_blocks:
+        # degenerate empty corpus: the gate pass below yields zero rows for
+        # ANY threshold, so pick 0 and stream through (returns the empty
+        # dataset with the operator's schema instead of crashing on an
+        # empty histogram)
+        threshold = 0
+    else:
+        hist_tbl = pa.concat_tables(hist_blocks)
+        raw_v = hist_tbl.column("permille").to_numpy()
+        raw_n = hist_tbl.column("n").to_numpy()
+        vals, inv = np.unique(raw_v, return_inverse=True)
+        n = np.zeros(len(vals), np.int64)
+        np.add.at(n, inv, raw_n)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        # percentile_disc: smallest value with cume_dist >= p (index ceil(p*n)-1)
+        idx = max(int(math.ceil(p * total)) - 1, 0)
+        threshold = int(vals[int(np.searchsorted(cum, idx + 1))])
 
     def gate(t: pa.Table) -> pa.Table:
         pm = permille_of(t)
@@ -505,11 +517,11 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
             {
                 "day_i": pa.array(uniq, pa.int64()),
                 "active": pa.array(
-                    np.bincount(inv, weights=t.column("active").to_numpy()).astype(np.int64),
+                    group_sum(inv, len(uniq), t.column("active").to_numpy()),
                     pa.int64(),
                 ),
                 "retained": pa.array(
-                    np.bincount(inv, weights=t.column("retained").to_numpy()).astype(np.int64),
+                    group_sum(inv, len(uniq), t.column("retained").to_numpy()),
                     pa.int64(),
                 ),
             }
@@ -568,7 +580,7 @@ def orders_monthly_growth(sf_dir: str) -> rd.Dataset:
         return pa.table(
             {
                 "month": pa.array(uniq, pa.string()),
-                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+                "cents": pa.array(group_sum(inv, len(uniq), cents), pa.int64()),
             }
         )
 
@@ -605,8 +617,13 @@ def orders_monthly_growth(sf_dir: str) -> rd.Dataset:
 
 COOC_TYPES = ("click", "error", "purchase", "signup", "view")
 
+# k types -> 2^k mask histogram rows; past this the mask-histogram shape
+# stops being "tiny" and the operator should fall back to a pair-keyed
+# aggregation — refuse loudly rather than build a 2^20+ histogram.
+COOC_MAX_TYPES = 16
 
-def events_type_cooccurrence(sf_dir: str, types: tuple = COOC_TYPES) -> rd.Dataset:
+
+def events_type_cooccurrence(sf_dir: str, types: tuple | None = None) -> rd.Dataset:
     """Type co-occurrence matrix: for every unordered pair of event types,
     how many users emitted BOTH — the classic audience-overlap query,
     normally a distinct self-join.
@@ -617,7 +634,35 @@ def events_type_cooccurrence(sf_dir: str, types: tuple = COOC_TYPES) -> rd.Datas
     masks — a histogram of at most 2^k rows (32 here) REGARDLESS of user
     count — and every pair count falls out of that tiny histogram with
     pure arithmetic. No self-join, no pair-keyed shuffle, nothing
-    O(users) past the single user groupby."""
+    O(users) past the single user groupby.
+
+    ``types=None`` (the default) derives the domain from a distinct scan of
+    the data — tiny, and it means a newly-appearing event_type can never be
+    silently dropped (the SQL oracle derives its pairs from the data the
+    same way). An explicit tuple restricts the matrix to that subset."""
+    if types is None:
+        def distinct_types(t: pa.Table) -> pa.Table:
+            u = np.unique(np.asarray(t.column("event_type").to_pylist(), dtype=object))
+            return pa.table({"event_type": pa.array(u, pa.string())})
+
+        seen = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    _events(sf_dir, ["event_type"])
+                    .map_batches(distinct_types, batch_format="pyarrow")
+                    .materialize().to_arrow_refs()
+                )
+                if len(t.schema)
+            ]
+        )
+        types = tuple(sorted(set(seen.column("event_type").to_pylist())))
+    if len(types) > COOC_MAX_TYPES:
+        raise ValueError(
+            f"{len(types)} event types exceeds COOC_MAX_TYPES={COOC_MAX_TYPES}; "
+            "the 2^k mask histogram no longer bounds the reduce — use a "
+            "pair-keyed aggregation instead"
+        )
     tlist = list(types)
     tindex = {t: i for i, t in enumerate(tlist)}
     k = len(tlist)
@@ -924,10 +969,10 @@ def lineitem_cov_stats(sf_dir: str) -> rd.Dataset:
             {
                 "l_returnflag": pa.array(uniq, pa.string()),
                 "n_rows": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
-                "sum_x": pa.array(np.bincount(inv, weights=qty).astype(np.int64), pa.int64()),
-                "sum_y": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+                "sum_x": pa.array(group_sum(inv, len(uniq), qty), pa.int64()),
+                "sum_y": pa.array(group_sum(inv, len(uniq), cents), pa.int64()),
                 "sum_xy": pa.array(
-                    np.bincount(inv, weights=qty * cents).astype(np.int64), pa.int64()
+                    group_sum(inv, len(uniq), qty * cents), pa.int64()
                 ),
             }
         )

@@ -30,6 +30,8 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+from pdfredact_ray.functions.ints import group_sum
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -78,7 +80,7 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
             {
                 "c_mktsegment": pa.array(uniq, type=pa.string()),
                 "total_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                    group_sum(inv, len(uniq), cents), type=pa.int64()
                 ),
                 "order_count": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
             }
@@ -127,7 +129,7 @@ def revenue_by_priority(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
             {
                 "l_orderkey": pa.array(uniq, type=pa.int64()),
                 "revenue_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                    group_sum(inv, len(uniq), cents), type=pa.int64()
                 ),
                 "bucket": pa.array(uniq % np.int64(n_buckets), type=pa.int64()),
             }
@@ -177,7 +179,7 @@ def revenue_by_priority(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
             {
                 "o_orderpriority": pa.array(uniq, type=pa.string()),
                 "revenue_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                    group_sum(inv, len(uniq), cents), type=pa.int64()
                 ),
                 "n_orders": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
             }
@@ -273,7 +275,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
                 "l_orderkey": pa.array(uniq // 64, type=pa.int64()),
                 "nationkey": pa.array(uniq % 64, type=pa.int64()),
                 "revenue_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                    group_sum(inv, len(uniq), cents), type=pa.int64()
                 ),
             }
         )
@@ -318,7 +320,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
             {
                 "n_name": pa.array([d["names"][int(k)] for k in uniq], type=pa.string()),
                 "revenue_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()
+                    group_sum(inv, len(uniq), cents), type=pa.int64()
                 ),
             }
         )
@@ -489,7 +491,7 @@ def q3_shipping_priority(
             {
                 "l_orderkey": pa.array(uniq, pa.int64()),
                 "revenue_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                    group_sum(inv, len(uniq), cents), pa.int64()
                 ),
                 "bucket": pa.array(uniq % np.int64(n_buckets), pa.int64()),
             }
@@ -843,7 +845,7 @@ def orders_above_customer_avg(sf_dir: str) -> rd.Dataset:
                 "o_custkey": pa.array(uniq, pa.int64()),
                 "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
                 "sum_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                    group_sum(inv, len(uniq), cents), pa.int64()
                 ),
             }
         )
