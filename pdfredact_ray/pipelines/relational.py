@@ -41,6 +41,44 @@ from ray.data.aggregate import Count, Sum
 
 from pdfredact_ray.pipelines.redact import default_concurrency
 
+# ---------------------------------------------------------------- join sizing
+# Exchange-volume-aware Dataset.join partition sizing (replaces the fixed
+# max(8, cores // 3) that encoded only the sf0.1 measurement).
+JOIN_PARTITION_TARGET_BYTES = 64 << 20  # ~64 MB of exchange per partition
+JOIN_PARTITION_MAX_BYTES = 512 << 20  # hard per-partition ceiling
+
+
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata only — no data scan."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(
+        os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+    ).count_rows()
+
+
+def join_partitions(est_rows: int, row_bytes: int = 24) -> int:
+    """num_partitions from the ESTIMATED exchange volume (rows x width of
+    the pre-reduced payload) instead of a fixed core fraction:
+
+    - skinny exchanges keep the measured few-partitions floor (8 beat 24
+      at 150k pre-reduced rows — fixed per-partition cost dominates);
+    - medium volumes approach one partition per core, capped at 2x (the
+      16M-row partition sweep in BASELINE.md);
+    - past ~cores x 1 GB the count keeps growing with data so no
+      partition's hash-build state outgrows a worker heap — the dial that
+      was missing at 100x sf0.1.
+
+    ``est_rows`` comes from parquet footer metadata (``_table_rows``) — an
+    upper bound for pre-reduced sides, which can only over-partition,
+    never under-provision memory."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    est_bytes = max(0, int(est_rows)) * row_bytes
+    by_target = -(-est_bytes // JOIN_PARTITION_TARGET_BYTES)  # ceil
+    by_ceiling = -(-est_bytes // JOIN_PARTITION_MAX_BYTES)
+    return int(max(8, min(by_target, cpus * 2), by_ceiling))
+
+
 
 def _floor_cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.floor(pc.multiply(col, 100.0)), pa.int64())
@@ -162,7 +200,7 @@ def revenue_by_priority(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
-    num_partitions = max(8, default_concurrency() // 3)
+    num_partitions = join_partitions(_table_rows(sf_dir, "orders"))
     joined = li.join(
         orders,
         join_type="inner",
@@ -290,7 +328,9 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
     )
     # measured at the pre-reduced join sizes: 8 partitions beat 24 (fixed
     # per-partition cost dominates skinny int data); grows with cores
-    num_partitions = max(8, default_concurrency() // 3)
+    num_partitions = join_partitions(
+        max(_table_rows(sf_dir, "orders"), _table_rows(sf_dir, "customer"))
+    )
     j1 = li.join(
         orders,
         join_type="inner",
@@ -551,7 +591,7 @@ def q3_shipping_priority(
         .map_batches(lambda t: t.select(["c_custkey"]), batch_format="pyarrow")
     )
 
-    num_partitions = max(8, default_concurrency() // 3)
+    num_partitions = join_partitions(_table_rows(sf_dir, "orders"))
     orders_seg = orders.join(
         cust,
         join_type="inner",
@@ -626,7 +666,7 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
     )
     # measured at the pre-reduced join sizes: 8 partitions beat 24 (fixed
     # per-partition cost dominates skinny int data); grows with cores
-    num_partitions = max(8, default_concurrency() // 3)
+    num_partitions = join_partitions(_table_rows(sf_dir, "customer"))
     joined = customer.join(
         buyers,
         join_type="left_outer",
@@ -675,7 +715,7 @@ def customers_with_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset
     customer = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    num_partitions = max(8, default_concurrency() // 3)
+    num_partitions = join_partitions(_table_rows(sf_dir, "customer"))
     joined = customer.join(
         buyers,
         join_type="left_outer",

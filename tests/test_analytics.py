@@ -861,3 +861,21 @@ def test_orders_monthly_growth_deltas(ray_session, tmp_path):
         "2026-02": (2000, 500),
         "2026-04": (250, -1750),  # floor(2.505*100)=250; negative delta
     }
+
+
+def test_join_partitions_scales_with_volume():
+    """Exchange-volume-aware join sizing: the measured few-partitions floor
+    at skinny sizes, ~cores in the middle, and unbounded growth past the
+    per-partition byte ceiling (memory-bound regime)."""
+    from pdfredact_ray.pipelines.relational import (
+        JOIN_PARTITION_MAX_BYTES,
+        join_partitions,
+    )
+
+    assert join_partitions(150_000) == 8  # sf0.1 finding preserved
+    mid = join_partitions(200_000_000)
+    assert 8 < mid <= 64  # grows toward cores x2
+    huge_rows = 200_000_000_000
+    huge = join_partitions(huge_rows)
+    assert huge > 64
+    assert huge_rows * 24 / huge <= JOIN_PARTITION_MAX_BYTES  # per-partition bound
