@@ -73,6 +73,15 @@ def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
+def _parquet_rows_events(sf_dir: str) -> int:
+    """events row count from parquet footer metadata only — no data scan."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(
+        os.path.join(sf_dir, "events.parquet"), format="parquet"
+    ).count_rows()
+
+
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
@@ -464,19 +473,26 @@ def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(gate, batch_format="pyarrow")
 
 
-def user_daily_retention(sf_dir: str) -> rd.Dataset:
+def user_daily_retention(sf_dir: str, n_salts: int = 64) -> rd.Dataset:
     """Next-day retention: per calendar day, how many users were active and
     how many of those were active again the following day — the temporal
     self-join every engagement pipeline runs, WITHOUT the self-join.
 
-    Scale shape: (1) map-side distinct (user, day) collapse — the only
-    rows that ever shuffle, bounded by users x days, not events; (2) ONE
-    groupby(user) where each user's sorted day array answers "active
-    tomorrow?" with a single vectorized ``isin`` against itself (days are
-    fixed 86400s apart, so next-day is day + constant — no join probe);
-    (3) per-batch day partials + a tiny groupby(day) sum (the group count
-    is the calendar, a few hundred keys at any corpus size)."""
+    Scale shape — WHALE-PROOF (no per-user group anywhere): (1) map-side
+    distinct (user, day) collapse to a composite int key — the only rows
+    that ever shuffle, bounded by users x days, not events; (2) ONE
+    groupby over FIXED salt groups keyed by (user, 32-day window): all
+    copies of a composite key land in one group, and "active tomorrow?"
+    is a single vectorized ``isin(comp + 1, comps)`` because day occupies
+    the key's low bits (next-day = key + 1). A day on a window's leading
+    edge (day % 32 == 0) is REPLICATED into the previous window's group as
+    a probe-only shadow row, so the +1 probe never crosses a group
+    boundary — the map-side-replication-before-the-keyed-exchange pattern
+    the hopping windows use. A whale user's days spread across windows and
+    salts instead of materializing as one group; (3) per-batch day
+    partials + a tiny groupby(day) sum (group count = the calendar)."""
     day_us = np.int64(86_400_000_000)
+    _W = np.int64(5)  # 32-day windows: comp >> 5 is the (user, window) key
 
     def distinct_ud(t: pa.Table) -> pa.Table:
         ts = (
@@ -492,20 +508,32 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
         # days), user id in the high 43 — user cardinality is the unbounded
         # dimension at scale, so it gets the wide field
         comp = np.unique(uid.astype(np.int64) * (np.int64(1) << np.int64(20)) + (ts // day_us))
+        shadow = np.zeros(len(comp), dtype=np.int64)
+        # leading-edge days also probe the PREVIOUS window: ship a shadow
+        edge = comp[(comp & np.int64(31)) == 0]
+        comp_all = np.concatenate([comp, edge])
+        shadow_all = np.concatenate([shadow, np.ones(len(edge), dtype=np.int64)])
+        wkey = np.where(shadow_all == 1, (comp_all >> _W) - 1, comp_all >> _W)
         return pa.table(
             {
-                "user_id": pa.array(comp >> np.int64(20), pa.int64()),
-                "day_i": pa.array(comp & ((np.int64(1) << np.int64(20)) - 1), pa.int64()),
+                "comp": pa.array(comp_all, pa.int64()),
+                "shadow": pa.array(shadow_all, pa.int64()),
+                "salt": pa.array(wkey % np.int64(n_salts), pa.int64()),
             }
         )
 
-    def per_user(g: pa.Table) -> pa.Table:
-        days = np.unique(g.column("day_i").to_numpy())
-        retained = np.isin(days + 1, days)
+    def per_salt(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        comp = g.column("comp").to_numpy()
+        shadow = g.column("shadow").to_numpy()
+        universe = np.unique(comp)  # comp is globally unique per (user, day)
+        emit = np.unique(comp[shadow == 0])
+        retained = np.isin(emit + 1, universe)
         return pa.table(
             {
-                "day_i": pa.array(days, pa.int64()),
-                "active": pa.array(np.ones(len(days), np.int64), pa.int64()),
+                "day_i": pa.array(emit & ((np.int64(1) << np.int64(20)) - 1), pa.int64()),
+                "active": pa.array(np.ones(len(emit), np.int64), pa.int64()),
                 "retained": pa.array(retained.astype(np.int64), pa.int64()),
             }
         )
@@ -540,8 +568,8 @@ def user_daily_retention(sf_dir: str) -> rd.Dataset:
     return (
         _events(sf_dir, ["user_id", "ts"])
         .map_batches(distinct_ud, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(per_salt, batch_format="pyarrow")
         .map_batches(day_partial, batch_format="pyarrow")
         .groupby("day_i")
         .aggregate(Sum("active"), Sum("retained"))
@@ -736,6 +764,183 @@ def events_type_cooccurrence(sf_dir: str, types: tuple | None = None) -> rd.Data
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+# Above this many events (parquet-footer metadata), user_funnel_depth
+# switches from the per-user map_groups path to the chained-min-join path —
+# the whale-proof shape where no per-user group ever materializes.
+FUNNEL_GROUP_MAX_EVENTS = 50_000_000
+
+FUNNEL_BUCKETS = 64
+
+
+def _user_min_combine(g: pa.Table) -> pa.Table:
+    """Per-bucket vectorized min-per-user over (user_id, t) partial rows."""
+    if g.num_columns == 0:
+        return g
+    uid = g.column("user_id").to_numpy()
+    t = g.column("t").to_numpy()
+    order = np.lexsort((t, uid))
+    uid_s, t_s = uid[order], t[order]
+    first = np.r_[True, uid_s[1:] != uid_s[:-1]]
+    return pa.table(
+        {
+            "user_id": pa.array(uid_s[first], pa.int64()),
+            "t": pa.array(t_s[first], pa.int64()),
+        }
+    )
+
+
+def _user_max_combine(g: pa.Table) -> pa.Table:
+    """Per-bucket vectorized max-depth-per-user over (user_id, d) rows."""
+    if g.num_columns == 0:
+        return g
+    uid = g.column("user_id").to_numpy()
+    d = g.column("d").to_numpy()
+    order = np.lexsort((-d, uid))
+    uid_s, d_s = uid[order], d[order]
+    first = np.r_[True, uid_s[1:] != uid_s[:-1]]
+    return pa.table(
+        {
+            "user_id": pa.array(uid_s[first], pa.int64()),
+            "funnel_depth": pa.array(d_s[first].astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def _funnel_depth_distributed(sf_dir: str, steps: tuple) -> rd.Dataset:
+    """Funnel as k chained combinable-min rounds — the whale-proof shape
+    (one user owning 30% of all events adds ONE partial row per batch, not
+    one giant group):
+
+    - t_1(user) = min ts of step-1 events: map-side per-user min partials
+      into a fixed-bucket vectorized combine (min is associative, so a
+      whale's events collapse map-side).
+    - t_s(user) = min ts of step-s events with ts >= t_{s-1}(user):
+      step-s events HASH-JOIN the skinny t_{s-1} table on user_id
+      (volume-aware partition count; joins spread a hot key's probe rows,
+      unlike groups), filter, same min-combine.
+    - depth = max over the union of (user, s) rows from each t_s plus
+      depth-0 markers from the distinct-user universe — one bucketed max.
+
+    Exactness is pinned against the per-user path by a forced-gate pytest
+    (planted whale = 30% of events) and the shared SQL oracle."""
+    from pdfredact_ray.pipelines.relational import join_partitions, _table_rows
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_i": pa.array(ts, pa.int64()),
+            }
+        )
+
+    step_events = (
+        _events(sf_dir, ["user_id", "event_type", "ts"])
+        .filter(expr=" or ".join(f"event_type == {s!r}" for s in steps))
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()  # consumed once per round; skinny 3-column projection
+    )
+
+    def distinct_users(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy())
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "d": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "bucket": pa.array(u % np.int64(FUNNEL_BUCKETS), pa.int64()),
+            }
+        )
+
+    depth_rows = [
+        _events(sf_dir, ["user_id"]).map_batches(distinct_users, batch_format="pyarrow")
+    ]
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts_i").to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        first = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        u = uid_s[first]
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "t": pa.array(ts_s[first], pa.int64()),
+                "bucket": pa.array(u % np.int64(FUNNEL_BUCKETS), pa.int64()),
+            }
+        )
+
+    n_users_est = _table_rows(sf_dir, "events")
+    t_prev: rd.Dataset | None = None
+    for s, step in enumerate(steps, start=1):
+        ev_s = step_events.filter(expr=f"event_type == {step!r}")
+        if t_prev is None:
+            qualifying = ev_s
+        else:
+            joined = ev_s.join(
+                t_prev,
+                join_type="inner",
+                num_partitions=join_partitions(n_users_est, row_bytes=16),
+                on=("user_id",),
+            )
+            qualifying = joined.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("ts_i"), t.column("t_r"))
+                ).drop_columns(["t_r"])
+                if t.num_rows
+                else t.drop_columns(["t_r"]),
+                batch_format="pyarrow",
+            )
+        t_s = (
+            qualifying.map_batches(min_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_user_min_combine, batch_format="pyarrow")
+            .materialize()  # consumed twice: next round's join + depth union
+        )
+        depth_rows.append(
+            t_s.map_batches(
+                lambda t, s=s: pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "d": pa.array(
+                            np.full(t.num_rows, s, dtype=np.int64), pa.int64()
+                        ),
+                        "bucket": pa.array(
+                            t.column("user_id").to_numpy() % np.int64(FUNNEL_BUCKETS),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # rename t -> t_r so the next join's probe filter can't collide
+        # with the event column names
+        t_prev = t_s.map_batches(
+            lambda t: t.rename_columns(["user_id", "t_r"]), batch_format="pyarrow"
+        )
+
+    union = depth_rows[0]
+    for extra in depth_rows[1:]:
+        union = union.union(extra)
+    return union.groupby("bucket").map_groups(_user_max_combine, batch_format="pyarrow")
+
+
 def user_funnel_depth(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> rd.Dataset:
     """Ordered-sequence funnel: how deep each user progresses through
     view → click → purchase, where each step must occur AT OR AFTER the
@@ -746,9 +951,13 @@ def user_funnel_depth(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> rd.Dataset:
     filter (a large reduction on real corpora), projected to three skinny
     columns before the one groupby(user) exchange; each group then answers
     the sequence constraint with one sort and a searchsorted per step.
-    Per-user locality is the partitioning assumption (as for the as-of
-    join); a user's funnel state is not batch-decomposable because step k's
-    cutoff depends on step k-1's first qualifying timestamp."""
+    Per-user locality is the partitioning assumption below
+    ``FUNNEL_GROUP_MAX_EVENTS`` (parquet-footer row count); past it — or
+    whenever one user could own a corpus-scale share of events — the
+    chained-min-join path (``_funnel_depth_distributed``) takes over, in
+    which no per-user group ever materializes."""
+    if _parquet_rows_events(sf_dir) > FUNNEL_GROUP_MAX_EVENTS:
+        return _funnel_depth_distributed(sf_dir, steps)
     steps_arr = list(steps)
 
     def keep_steps(t: pa.Table) -> pa.Table:

@@ -447,15 +447,225 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+# Above this many events (parquet-footer metadata), events_asof_view
+# switches to the time-windowed distributed shape where no per-user group
+# ever materializes.
+ASOF_GROUP_MAX_EVENTS = 50_000_000
+
+ASOF_WINDOW_US = np.int64(86_400_000_000)  # 1-day as-of windows
+ASOF_SALTS = 64
+
+
+def _asof_view_distributed(sf_dir: str, window_us: int = ASOF_WINDOW_US) -> rd.Dataset:
+    """Whale-proof AS-OF join — (user, time-window) segments instead of
+    per-user groups:
+
+    1. ONE salted groupby over composite (user, window) segments. Inside a
+       salt group, "latest view <= purchase ts" within each segment is a
+       SEGMENTED running max — fully vectorized via the monotone-base trick
+       ``np.maximum.accumulate(seg * BIG + view_ts_offset)`` (later
+       segments' bases dominate, so no cross-segment leakage and no reset
+       loop). Purchases matched in-window finish here. Every segment also
+       emits a (user, window, max_view_ts) summary and its unmatched
+       purchases.
+    2. A tiny ``groupby(user)`` over the WINDOW SUMMARIES (rows bounded by
+       time-span/window per user, never by event count) computes each
+       window's strict-predecessor best view ts (prefix max + shift).
+    3. Unmatched purchases HASH-JOIN that (user, window, prev_best) table —
+       a join spreads a hot user's probe rows across partitions, unlike a
+       group. A view in an earlier window is always <= the purchase ts, so
+       the match needs no further filtering.
+
+    Exactness is pinned against the per-user path by a forced-gate planted
+    whale pytest and the shared DuckDB ASOF JOIN oracle."""
+    W = np.int64(window_us)
+    NS = np.int64(ASOF_SALTS)
+    WBITS = np.int64(21)  # window index < 2^21 (~5700 years of days)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        comp = uid * (np.int64(1) << WBITS) + ts // W
+        is_view = pc.equal(t.column("event_type"), "view").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "comp": pa.array(comp, pa.int64()),
+                "salt": pa.array(comp % NS, pa.int64()),
+                "event_id": t.column("event_id"),
+                "ts_i": pa.array(ts, pa.int64()),
+                "is_view": pa.array(is_view.astype(np.int8), pa.int8()),
+            }
+        )
+
+    def per_salt(g: pa.Table) -> pa.Table:
+        """Emit kind=0 done purchases / kind=1 unmatched purchases /
+        kind=2 per-segment summaries, one unified schema."""
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "comp": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts_i": pa.array([], pa.int64()),
+                "matched": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_columns == 0 or g.num_rows == 0:
+            return empty
+        comp = g.column("comp").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        ts = g.column("ts_i").to_numpy()
+        isv = g.column("is_view").to_numpy().astype(bool)
+        # views first at equal ts (<= semantics), segments contiguous
+        order = np.lexsort((~isv, ts, comp))
+        comp, eid, ts, isv = comp[order], eid[order], ts[order], isv[order]
+        seg = np.cumsum(np.r_[0, comp[1:] != comp[:-1]]).astype(np.int64)
+        base = ts.min()
+        v_fill = np.where(isv, ts - base + 1, 0).astype(np.int64)
+        big = np.int64(int(ts.max()) - int(base) + 2)
+        acc = np.maximum.accumulate(seg * big + v_fill)
+        last_v = acc - seg * big  # 0 = no view yet in this segment
+        starts = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
+        # per-segment summary: max view offset (0 if the window has none)
+        seg_max_v = np.maximum.reduceat(v_fill, starts)
+        p_mask = ~isv
+        matched_off = last_v[p_mask]
+        done = matched_off > 0
+        out_kind = [
+            np.zeros(int(done.sum()), np.int8),
+            np.ones(int((~done).sum()), np.int8),
+            np.full(len(starts), 2, np.int8),
+        ]
+        out_comp = [comp[p_mask][done], comp[p_mask][~done], comp[starts]]
+        out_eid = [eid[p_mask][done], eid[p_mask][~done], np.zeros(len(starts), np.int64)]
+        out_ts = [ts[p_mask][done], ts[p_mask][~done], np.zeros(len(starts), np.int64)]
+        out_match = [
+            (matched_off[done] + base - 1).astype(np.int64),
+            np.zeros(int((~done).sum()), np.int64),
+            np.where(seg_max_v > 0, seg_max_v + base - 1, np.int64(-1)),
+        ]
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+                "comp": pa.array(np.concatenate(out_comp), pa.int64()),
+                "event_id": pa.array(np.concatenate(out_eid), pa.int64()),
+                "ts_i": pa.array(np.concatenate(out_ts), pa.int64()),
+                "matched": pa.array(np.concatenate(out_match), pa.int64()),
+            }
+        )
+
+    staged = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .filter(expr="event_type == 'purchase' or event_type == 'view'")
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(per_salt, batch_format="pyarrow")
+        .materialize()  # consumed by three downstream filters
+    )
+
+    def prev_best(gu: pa.Table) -> pa.Table:
+        """Per user: strict-predecessor running max of window view bests."""
+        if gu.num_columns == 0 or gu.num_rows == 0:
+            return pa.table(
+                {"comp": pa.array([], pa.int64()), "prev": pa.array([], pa.int64())}
+            )
+        comp = gu.column("comp").to_numpy()
+        best = gu.column("matched").to_numpy()
+        order = np.argsort(comp, kind="stable")
+        comp_s, best_s = comp[order], best[order]
+        run = np.maximum.accumulate(best_s)
+        prev = np.r_[np.int64(-1), run[:-1]]
+        return pa.table(
+            {"comp": pa.array(comp_s, pa.int64()), "prev": pa.array(prev, pa.int64())}
+        )
+
+    summaries = staged.filter(expr="kind == 2").map_batches(
+        lambda t: pa.table(
+            {
+                "comp": t.column("comp"),
+                "matched": t.column("matched"),
+                "user_id": pa.array(
+                    t.column("comp").to_numpy() >> WBITS, pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    prev_tbl = summaries.groupby("user_id").map_groups(prev_best, batch_format="pyarrow")
+
+    unmatched = staged.filter(expr="kind == 1")
+    joined = unmatched.join(
+        prev_tbl,
+        join_type="inner",  # every (user, window) with a purchase has a summary
+        num_partitions=join_partitions(_table_rows(sf_dir, "events") // 8, row_bytes=16),
+        on=("comp",),
+    )
+
+    def finish_unmatched(t: pa.Table) -> pa.Table:
+        uid = t.column("comp").to_numpy() >> WBITS
+        prev = t.column("prev").to_numpy()
+        ts = t.column("ts_i").to_numpy()
+        ok = prev >= 0
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(uid, pa.int64()),
+                "last_view_ts": pa.array(
+                    [int(p) if o else None for p, o in zip(prev, ok)],
+                    pa.timestamp("us"),
+                ),
+                "gap_us": pa.array(
+                    [int(x) if o else None for x, o in zip(ts - prev, ok)], pa.int64()
+                ),
+            }
+        )
+
+    def finish_done(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(
+                    t.column("comp").to_numpy() >> WBITS, pa.int64()
+                ),
+                "last_view_ts": pa.array(
+                    t.column("matched").to_numpy(), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "gap_us": pa.array(
+                    t.column("ts_i").to_numpy() - t.column("matched").to_numpy(),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    done_ds = staged.filter(expr="kind == 0").map_batches(
+        finish_done, batch_format="pyarrow"
+    )
+    rest_ds = joined.map_batches(finish_unmatched, batch_format="pyarrow")
+    return done_ds.union(rest_ds)
+
+
 def events_asof_view(sf_dir: str) -> rd.Dataset:
     """AS-OF join: each purchase event matched to the same user's latest
     view event with ``view.ts <= purchase.ts`` (DuckDB ``ASOF LEFT JOIN``
     semantics); emits the matched view ts and the exact gap in microseconds
     (NULL when the user has no prior view).
 
-    One ``groupby(user_id).map_groups`` supplies per-user locality; inside a
-    group both sides sort by ts once and every purchase resolves through a
-    single vectorized ``np.searchsorted`` — no per-row Python scanning."""
+    One ``groupby(user_id).map_groups`` supplies per-user locality below
+    ``ASOF_GROUP_MAX_EVENTS`` (parquet-footer row count); inside a group
+    both sides sort by ts once and every purchase resolves through a
+    single vectorized ``np.searchsorted``. Past the gate — the regime
+    where one whale user would materialize as one giant group — the
+    time-windowed ``_asof_view_distributed`` shape takes over."""
+    if _table_rows(sf_dir, "events") > ASOF_GROUP_MAX_EVENTS:
+        return _asof_view_distributed(sf_dir)
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],

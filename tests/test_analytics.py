@@ -879,3 +879,161 @@ def test_join_partitions_scales_with_volume():
     huge = join_partitions(huge_rows)
     assert huge > 64
     assert huge_rows * 24 / huge <= JOIN_PARTITION_MAX_BYTES  # per-partition bound
+
+
+def _planted_whale_events(tmp_path, n=120_000, whale_share=0.3, seed=7):
+    """Synthetic events dir with one user owning ~whale_share of all rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_whale = int(n * whale_share)
+    uid = np.concatenate(
+        [np.full(n_whale, 1, np.int64), rng.integers(2, 2000, size=n - n_whale)]
+    )
+    types = np.array(["view", "click", "purchase", "error", "signup"], dtype=object)
+    et = types[rng.integers(0, 5, size=n)]
+    ts = rng.integers(1_700_000_000_000_000, 1_700_900_000_000_000, size=n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(rng.random(n) * 40.0, pa.float64()),
+        }
+    )
+    d = str(tmp_path / "whale_sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    return d, tbl
+
+
+def test_funnel_distributed_path_matches_on_planted_whale(ray_session, tmp_path):
+    """Forced chained-min-join path == per-user map_groups path on a corpus
+    where ONE user owns 30% of all events (the whale that motivates the
+    distributed shape), and both match a pure-pandas reference."""
+    import pdfredact_ray.pipelines.analytics as A
+
+    d, tbl = _planted_whale_events(tmp_path)
+    fast = (
+        A.user_funnel_depth(d).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    saved = A.FUNNEL_GROUP_MAX_EVENTS
+    try:
+        A.FUNNEL_GROUP_MAX_EVENTS = 0
+        dist = (
+            A.user_funnel_depth(d)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        A.FUNNEL_GROUP_MAX_EVENTS = saved
+    pd.testing.assert_frame_equal(fast, dist)
+
+    # independent reference: per-user sequential scan in pandas
+    df = tbl.to_pandas()
+    exp = {}
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        cutoff, depth = None, 0
+        for step in ("view", "click", "purchase"):
+            cand = g[g.event_type == step].ts
+            if cutoff is not None:
+                cand = cand[cand >= cutoff]
+            if len(cand) == 0:
+                break
+            cutoff = cand.iloc[0]
+            depth += 1
+        exp[u] = depth
+    got = dict(zip(fast.user_id, fast.funnel_depth))
+    assert got == exp
+
+
+def test_asof_distributed_path_matches_on_planted_whale(ray_session, tmp_path):
+    """Forced time-windowed as-of path == per-user path on the planted
+    whale corpus, and both match DuckDB's native ASOF LEFT JOIN."""
+    import duckdb
+
+    import pdfredact_ray.pipelines.relational as R
+
+    d, tbl = _planted_whale_events(tmp_path)
+
+    def norm(df):
+        return df.sort_values("event_id").reset_index(drop=True)
+
+    fast = norm(R.events_asof_view(d).to_pandas())
+    saved = R.ASOF_GROUP_MAX_EVENTS
+    try:
+        R.ASOF_GROUP_MAX_EVENTS = 0
+        dist = norm(R.events_asof_view(d).to_pandas())
+    finally:
+        R.ASOF_GROUP_MAX_EVENTS = saved
+    pd.testing.assert_frame_equal(fast, dist)
+
+    con = duckdb.connect()
+    con.register("events", tbl)
+    exp = norm(
+        con.execute(
+            """
+        SELECT p.event_id, p.user_id, v.ts AS last_view_ts,
+               CASE WHEN v.ts IS NULL THEN NULL
+                    ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        """
+        ).df()
+    )
+    got = dist.copy()
+    exp["gap_us"] = exp["gap_us"].astype("float64")
+    got["gap_us"] = got["gap_us"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_distributed_on_real_table(ray_session):
+    """Forced distributed as-of over the sf0.001 events table equals the
+    per-user path row for row."""
+    import pdfredact_ray.pipelines.relational as R
+
+    sf = "/root/testdata/sf0.001"
+    fast = R.events_asof_view(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    saved = R.ASOF_GROUP_MAX_EVENTS
+    try:
+        R.ASOF_GROUP_MAX_EVENTS = 0
+        dist = R.events_asof_view(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    finally:
+        R.ASOF_GROUP_MAX_EVENTS = saved
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_retention_windowed_shape_on_planted_whale(ray_session, tmp_path):
+    """The composite (user, 32-day-window) retention shape — boundary-day
+    shadow replication included — matches a pure-pandas reference on the
+    planted whale corpus."""
+    import pdfredact_ray.pipelines.analytics as A
+
+    d, tbl = _planted_whale_events(tmp_path, n=80_000)
+    got = (
+        A.user_daily_retention(d).to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    ud = df.assign(day=df.ts.dt.floor("D"))[["user_id", "day"]].drop_duplicates()
+    active = set(zip(ud.user_id, ud.day))
+    ud["retained"] = [
+        int((u, dy + pd.Timedelta(days=1)) in active)
+        for u, dy in zip(ud.user_id, ud.day)
+    ]
+    exp = (
+        ud.groupby(ud.day.dt.strftime("%Y-%m-%d"))
+        .agg(n_active=("user_id", "size"), n_retained=("retained", "sum"))
+        .reset_index()
+        .rename(columns={"day": "day"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(got.day) == list(exp.day)
+    assert list(got.n_active) == list(exp.n_active)
+    assert list(got.n_retained) == list(exp.n_retained)
