@@ -643,12 +643,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Bloom gate recomputed bit-for-bit: a candidate is NEW iff at least
         # one of its k md5-derived bit positions is absent from the
-        # reference shard's set-bit set (k=4, m=2^16 — mirrors
-        # corpus.BLOOM_K/BLOOM_BITS and the doc_split md5_number_upper
-        # convention)
+        # reference shard's set-bit set (k=4 — corpus.BLOOM_K; the
+        # doc_split md5_number_upper convention). Geometry bloom-geom-v2:
+        # m = smallest power of two >= 10 bits per reference-shard doc,
+        # floored at 2^16 — the recursive doubling CTE derives the SAME m
+        # as corpus.bloom_geometry from the SAME count, keeping the
+        # auto-sized probabilistic structure exactly SQL-reproducible
         "bloom_new_docs": """
-            WITH ref_bits AS (
-                SELECT DISTINCT md5_number_upper(text || ':bloom' || i) % 65536 AS bit
+            WITH RECURSIVE msize(m) AS (
+                SELECT CAST(65536 AS BIGINT)
+                UNION ALL
+                SELECT m * 2 FROM msize
+                WHERE m < (SELECT 10 * count(*) FROM documents WHERE doc_id % 10 = 0)
+            ),
+            geom AS (SELECT max(m) AS m FROM msize),
+            ref_bits AS (
+                SELECT DISTINCT
+                       md5_number_upper(text || ':bloom' || i) % (SELECT m FROM geom) AS bit
                 FROM documents, UNNEST(generate_series(0, 3)) AS t(i)
                 WHERE doc_id % 10 = 0
             )
@@ -656,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 10 <> 0
               AND EXISTS (
                   SELECT 1 FROM UNNEST(generate_series(0, 3)) AS t(i)
-                  WHERE md5_number_upper(d.text || ':bloom' || i) % 65536
+                  WHERE md5_number_upper(d.text || ':bloom' || i) % (SELECT m FROM geom)
                         NOT IN (SELECT bit FROM ref_bits)
               )
         """,

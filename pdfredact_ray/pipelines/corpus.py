@@ -279,6 +279,12 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
 # table is ~1.6e11 rows and takes the distributed path.
 DRIVER_BUCKET_MAX_ROWS = 50_000_000
 
+# Above this many candidate pairs the exact-Jaccard verify runs as an
+# actor-pool map_batches instead of one driver call (the measured 2M-doc
+# pipeline floor); below it actor startup dominates.
+PAIR_VERIFY_MIN_PARALLEL = 20_000
+PAIR_VERIFY_BATCH = 8_192
+
 # Per-bucket member cap: a bucket with more identical-band docs than this is
 # the exact-duplicate pathology (run dedup_exact first); members beyond the
 # cap are dropped from pair generation and the truncation is SURFACED via
@@ -529,6 +535,32 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     texts = dict(
         zip(cand_docs.column("doc_id").to_pylist(), cand_docs.column("text").to_pylist())
     )
+    # Parallel verify: the exact-Jaccard pass was the measured pipeline
+    # floor at 2M docs — 180k candidate pairs verified on ONE driver core
+    # while 31 sat idle (the 17.4k docs/s family floor of round 3). Past a
+    # small pair count the candidate table splits into blocks verified by a
+    # PairVerifier actor pool (texts ray.put once, per-actor shingle
+    # cache); below it, actor startup costs more than the verify.
+    if cand_tbl.num_rows >= PAIR_VERIFY_MIN_PARALLEL:
+        texts_ref = ray.put(texts)
+        slices = [
+            cand_tbl.slice(i, PAIR_VERIFY_BATCH)
+            for i in range(0, cand_tbl.num_rows, PAIR_VERIFY_BATCH)
+        ]
+        verified = rd.from_arrow(slices).map_batches(
+            PairVerifier,
+            fn_constructor_args=(texts_ref,),
+            fn_constructor_kwargs={"threshold": threshold},
+            batch_size=PAIR_VERIFY_BATCH,
+            concurrency=min(default_concurrency(), len(slices)),
+            batch_format="pyarrow",
+        )
+        out = _collect(verified)
+        if out is None or out.num_rows == 0:
+            return empty.replace_schema_metadata(meta)
+        return out.sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        ).replace_schema_metadata(meta)
     verifier = PairVerifier(texts, threshold=threshold)
     return verifier(cand_tbl).replace_schema_metadata(meta)
 
@@ -736,7 +768,25 @@ def _bloom_bits_of(text: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> lis
     ]
 
 
-def bloom_new_docs(sf_dir: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> rd.Dataset:
+def bloom_geometry(n_ref: int, bits_per_elem: int = 10, floor_bits: int = BLOOM_BITS) -> int:
+    """Auto-sized filter width: the smallest power of two >= 10 bits per
+    expected reference element (~1% FP at k=4), floored at the 8 KiB
+    default. Geometry is part of the SQL-reproducible contract — the
+    oracle derives the SAME m from the SAME reference count via a
+    recursive doubling CTE, so power-of-two + integer arithmetic only
+    (version: bloom-geom-v2; v1 was the fixed 2^16, which measurably
+    saturates at 200k reference docs — nearly every candidate reads
+    maybe-dup)."""
+    target = max(floor_bits, bits_per_elem * max(int(n_ref), 1))
+    m = floor_bits
+    while m < target:
+        m *= 2
+    return m
+
+
+def bloom_new_docs(
+    sf_dir: str, m_bits: int | None = None, k: int = BLOOM_K
+) -> rd.Dataset:
     """Bloom-filter INCREMENTAL dedup — the cross-run membership gate: docs
     already ingested (here: the doc_id % 10 == 0 shard, standing in for a
     previous run's corpus) populate a fixed-size bit array; the incoming
@@ -754,14 +804,28 @@ def bloom_new_docs(sf_dir: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> r
     broadcast bitmap. Memory is O(m) regardless of corpus size — the whole
     point of a Bloom gate at 10^12 rows.
 
-    SIZE m TO THE REFERENCE CARDINALITY (~10 bits per expected reference
-    element for ~1% FP at k=4). The 2^16 default suits the sf test
-    corpora's ~10^2 reference docs; measured at 2M docs with 200k
-    references, the default saturates (nearly every candidate reads
-    maybe-dup — the textbook undersized-filter failure) while
-    ``m_bits=1<<22`` (512 KiB) restores the expected pass-through. The
-    driver oracle checks the default geometry only.
+    m IS SIZED TO THE REFERENCE CARDINALITY by default
+    (``bloom_geometry``: smallest power of two >= 10 bits per reference
+    element, floored at 2^16) — measured at 2M docs with 200k references,
+    the old fixed 2^16 saturated (nearly every candidate read maybe-dup,
+    the textbook undersized-filter failure) while the auto-sized 2^21
+    restores the expected pass-through at 32 KB of broadcast state. The
+    reference count comes from one doc_id-only columnar scan; the SQL
+    oracle derives the identical m with a recursive doubling CTE over the
+    same count.
     """
+    if m_bits is None:
+        def ref_count(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return pa.table(
+                {"n": pa.array([int((ids % 10 == 0).sum())], pa.int64())}
+            )
+
+        counts = _collect(
+            _docs(sf_dir, ["doc_id"]).map_batches(ref_count, batch_format="pyarrow")
+        )
+        n_ref = int(pc.sum(counts.column("n")).as_py() or 0) if counts is not None else 0
+        m_bits = bloom_geometry(n_ref)
     n_words = m_bits // 64
 
     def bitmap_partial(t: pa.Table) -> pa.Table:

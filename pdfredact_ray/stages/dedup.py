@@ -89,10 +89,27 @@ class MinHasher:
         sigs = np.zeros((n, _N_HASHES), dtype=np.uint64)
         if chunks:
             s = np.concatenate(chunks)
-            vals = (s[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-            nonempty = counts > 0
-            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1].astype(np.int64)))
-            sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+            nonempty = np.flatnonzero(counts > 0)
+            ne_counts = counts[nonempty]
+            ends = np.cumsum(ne_counts)
+            starts = ends - ne_counts
+            # Chunk the (shingles x 64) universal-hash matrix at a
+            # cache-friendly size, aligned to doc boundaries: one flat
+            # matrix over the whole batch is 100s of MB of temporaries and
+            # runs MEMORY-bound — measured 14x slower (1.3k vs 17.7k
+            # docs/s) than ~1k-shingle chunks whose temporaries stay in L2
+            # (sweep: 512->16.4k, 1024->17.7k, 8192->10.6k docs/s).
+            target = 1_024
+            d0 = 0
+            while d0 < len(nonempty):
+                d1 = d0 + 1
+                while d1 < len(nonempty) and ends[d1 - 1] - starts[d0] < target:
+                    d1 += 1
+                sl = s[starts[d0] : ends[d1 - 1]]
+                vals = (sl[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+                local_starts = (starts[d0:d1] - starts[d0]).astype(np.int64)
+                sigs[nonempty[d0:d1]] = np.minimum.reduceat(vals, local_starts, axis=0)
+                d0 = d1
         band_rows = sigs.reshape(n, _N_BANDS, _ROWS_PER_BAND)
         band_hashes = np.empty(n * _N_BANDS, dtype=np.int64)
         crc = zlib.crc32
