@@ -651,7 +651,9 @@ COOC_TYPES = ("click", "error", "purchase", "signup", "view")
 COOC_MAX_TYPES = 16
 
 
-def events_type_cooccurrence(sf_dir: str, types: tuple | None = None) -> rd.Dataset:
+def events_type_cooccurrence(
+    sf_dir: str, types: tuple | None = COOC_TYPES, strict: bool = True
+) -> rd.Dataset:
     """Type co-occurrence matrix: for every unordered pair of event types,
     how many users emitted BOTH — the classic audience-overlap query,
     normally a distinct self-join.
@@ -664,10 +666,13 @@ def events_type_cooccurrence(sf_dir: str, types: tuple | None = None) -> rd.Data
     pure arithmetic. No self-join, no pair-keyed shuffle, nothing
     O(users) past the single user groupby.
 
-    ``types=None`` (the default) derives the domain from a distinct scan of
-    the data — tiny, and it means a newly-appearing event_type can never be
-    silently dropped (the SQL oracle derives its pairs from the data the
-    same way). An explicit tuple restricts the matrix to that subset."""
+    Domain policy (a new event_type can never be silently dropped): with
+    the default known-type tuple, ``strict=True`` makes the mask pass RAISE
+    on any type outside it — zero extra scans, loud on drift. Pass
+    ``types=None`` to derive the domain from a distinct event_type scan
+    instead (one tiny extra read, measured ~1.5s of fixed cost at sf0.1 —
+    the right mode when the domain is genuinely unknown), or an explicit
+    tuple with ``strict=False`` to intentionally restrict the matrix."""
     if types is None:
         def distinct_types(t: pa.Table) -> pa.Table:
             u = np.unique(np.asarray(t.column("event_type").to_pylist(), dtype=object))
@@ -698,6 +703,13 @@ def events_type_cooccurrence(sf_dir: str, types: tuple | None = None) -> rd.Data
     def user_mask_partial(t: pa.Table) -> pa.Table:
         et = np.asarray(t.column("event_type").to_pandas(), dtype=object)
         codes = np.array([tindex.get(x, -1) for x in et], dtype=np.int64)
+        if strict and (codes < 0).any():
+            unseen = sorted(set(et[codes < 0]))
+            raise ValueError(
+                f"event_type(s) {unseen} outside the assumed co-occurrence "
+                f"domain {tlist} — pass types=None to derive the domain from "
+                "the data, or an explicit tuple with strict=False to restrict"
+            )
         m = codes >= 0
         uid = t.column("user_id").to_numpy()[m]
         mask = np.int64(1) << codes[m]

@@ -296,24 +296,72 @@ _log = __import__("logging").getLogger("pdfredact_ray.corpus")
 
 def _buckets_to_pairs(key_s: np.ndarray, did_s: np.ndarray, cap: int = BUCKET_MEMBER_CAP):
     """Candidate pairs from a bucket-key-sorted (key, doc_id) run list.
-    Returns (pairs_set, n_capped_buckets, n_dropped_members)."""
+    Returns (pairs, n_capped_buckets, n_dropped_members) where ``pairs``
+    is a deduped (M, 2) int64 array sorted lexicographically, doc_a <
+    doc_b per row.
+
+    By LSH construction almost every multi-member bucket has exactly TWO
+    members, so that case is fully vectorized (the former Python loop over
+    buckets was the measured driver floor: 54s at 32M banded rows for a
+    pathological dup density, now sub-second); buckets of 3+ members go
+    through a small loop whose inner pair expansion is ``triu_indices``."""
     bounds = np.flatnonzero(np.concatenate(([True], key_s[1:] != key_s[:-1])))
     bounds = np.append(bounds, len(key_s))
-    pairs_set: set = set()
+    lens = np.diff(bounds)
     capped_buckets = 0
     dropped_members = 0
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        if b - a < 2:
-            continue
-        ids = sorted(set(did_s[a:b].tolist()))
+
+    los: List[np.ndarray] = []
+    his: List[np.ndarray] = []
+    # the dominant case: exactly two members per hot bucket
+    two_starts = bounds[:-1][lens == 2]
+    if len(two_starts):
+        a2 = did_s[two_starts]
+        b2 = did_s[two_starts + 1]
+        lo = np.minimum(a2, b2)
+        hi = np.maximum(a2, b2)
+        m = lo != hi
+        los.append(lo[m])
+        his.append(hi[m])
+    # 3..cap-member buckets, vectorized PER LENGTH CLASS (<= 62 classes):
+    # all buckets of length L become one (n_L, L) row-sorted matrix whose
+    # pairs come from a single triu gather — no per-bucket numpy calls
+    # (a per-bucket loop measured 2x slower than even the per-bucket
+    # PYTHON list ops at 2.9M small buckets)
+    for L in np.unique(lens[(lens >= 3) & (lens <= cap)]):
+        starts_L = bounds[:-1][lens == L]
+        mat = np.sort(did_s[starts_L[:, None] + np.arange(int(L))], axis=1)
+        ii, jj = np.triu_indices(int(L), k=1)
+        lo = mat[:, ii].ravel()
+        hi = mat[:, jj].ravel()
+        m = lo != hi
+        los.append(lo[m])
+        his.append(hi[m])
+    # past the cap: the exact-dup pathology — rare by definition, loop
+    for bi in np.flatnonzero(lens > cap):
+        ids = np.unique(did_s[bounds[bi] : bounds[bi + 1]])
         if len(ids) > cap:
             capped_buckets += 1
             dropped_members += len(ids) - cap
             ids = ids[:cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs_set.add((ids[i], ids[j]))
-    return pairs_set, capped_buckets, dropped_members
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        los.append(ids[ii])
+        his.append(ids[jj])
+
+    if not los:
+        return np.empty((0, 2), dtype=np.int64), capped_buckets, dropped_members
+    lo_all = np.concatenate(los).astype(np.int64)
+    hi_all = np.concatenate(his).astype(np.int64)
+    order = np.lexsort((hi_all, lo_all))
+    lo_s, hi_s = lo_all[order], hi_all[order]
+    keep = np.r_[True, (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
+    return (
+        np.stack([lo_s[keep], hi_s[keep]], axis=1),
+        capped_buckets,
+        dropped_members,
+    )
 
 
 def _emit_bucket_pairs(g: pa.Table) -> pa.Table:
@@ -333,13 +381,12 @@ def _emit_bucket_pairs(g: pa.Table) -> pa.Table:
     key = g.column("bucket_key").to_numpy().astype(np.int64)
     did = g.column("doc_id").to_numpy().astype(np.int64)
     order = np.argsort(key, kind="stable")
-    pairs_set, capped, dropped = _buckets_to_pairs(key[order], did[order])
-    pairs = sorted(pairs_set)
-    da = [a for a, _ in pairs]
-    db = [b for _, b in pairs]
+    pairs, capped, dropped = _buckets_to_pairs(key[order], did[order])
+    da = pairs[:, 0]
+    db = pairs[:, 1]
     if capped:
-        da.append(-capped)
-        db.append(-dropped)
+        da = np.append(da, -capped)
+        db = np.append(db, -dropped)
     return pa.table(
         {"doc_a": pa.array(da, pa.int64()), "doc_b": pa.array(db, pa.int64())}
     )
@@ -492,7 +539,7 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     did = tbl.column("doc_id").to_numpy().astype(np.int64)
     key = band * (np.int64(1) << np.int64(33)) + bhash  # band_hash < 2^32
     order = np.argsort(key, kind="stable")
-    pairs_set, capped_buckets, dropped_members = _buckets_to_pairs(
+    cand_pairs, capped_buckets, dropped_members = _buckets_to_pairs(
         key[order], did[order]
     )
 
@@ -507,24 +554,17 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         b"minhash.dropped_members": str(dropped_members).encode(),
     }
 
-    cand = sorted(pairs_set)
-    if not cand:
+    if len(cand_pairs) == 0:
         return empty.replace_schema_metadata(meta)
     cand_tbl = pa.table(
         {
-            "doc_a": pa.array([a for a, _ in cand], pa.int64()),
-            "doc_b": pa.array([b for _, b in cand], pa.int64()),
+            "doc_a": pa.array(cand_pairs[:, 0], pa.int64()),
+            "doc_b": pa.array(cand_pairs[:, 1], pa.int64()),
         }
     )
     # pull only the candidate docs' texts (O(near-dups), not O(corpus)) —
     # a one-shot task-based is_in semi-join against the broadcast id set
-    cand_ids = pa.array(
-        sorted(
-            set(cand_tbl.column("doc_a").to_pylist())
-            | set(cand_tbl.column("doc_b").to_pylist())
-        ),
-        type=pa.int64(),
-    )
+    cand_ids = pa.array(np.unique(cand_pairs), type=pa.int64())
     cand_docs = _collect(
         docs.map_batches(
             _semi_join,

@@ -1037,3 +1037,29 @@ def test_retention_windowed_shape_on_planted_whale(ray_session, tmp_path):
     assert list(got.day) == list(exp.day)
     assert list(got.n_active) == list(exp.n_active)
     assert list(got.n_retained) == list(exp.n_retained)
+
+
+def test_cooccurrence_strict_raises_on_unknown_type(ray_session, tmp_path):
+    """The default known-domain mode fails LOUDLY when the data contains an
+    event_type outside it (no silent drops); types=None derives the domain
+    and succeeds."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import pdfredact_ray.pipelines.analytics as A
+
+    d = str(tmp_path / "cooc_sf")
+    os.makedirs(d)
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["view", "mystery", "view"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    with pytest.raises(Exception) as ei:
+        A.events_type_cooccurrence(d).materialize()
+    assert "mystery" in str(ei.value)
+    out = A.events_type_cooccurrence(d, types=None).to_pandas()
+    assert set(out.columns) == {"type_a", "type_b", "n_users"}
