@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk_bruteforce": C.ann_topk_bruteforce,
         "ann_topk_ivf": C.ann_topk_ivf,
+        # LSH-bucketed ANN (signed random projection, 12 bands x 3 bits;
+        # md5-derived hyperplanes + exact-int bits -> exact SQL oracle)
+        "ann_topk_lsh": C.ann_topk_lsh,
         "embed_cosine_near_dup": C.embed_cosine_near_dup,
         # iterative ML: fixed-point Lloyd's k-means (2 rounds, exact int64)
         "kmeans_clusters": C.kmeans_clusters,
@@ -975,6 +978,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        # LSH-bucketed ANN: the signs/proj/buckets CTEs rebuild the engine's
+        # md5-parity hyperplane matrix and exact-int bit decisions
+        # (stages/embed.lsh_sign_matrix / lsh_band_buckets) verbatim —
+        # 36 bits = 12 bands x 3 bits, bucket match in ANY band gates the
+        # cosine ranking, so the approximate structure is exactly
+        # reproducible (not a rows-only check).
+        "ann_topk_lsh": """
+            WITH q AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5)
+                            AS BIGINT) AS qv
+                FROM embeddings
+            ),
+            signs AS (
+                SELECT t.bit, dd.d,
+                       CASE WHEN md5_number_upper('lshsign:' || CAST(t.bit AS VARCHAR)
+                                 || ':' || CAST(dd.d - 1 AS VARCHAR)) % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM UNNEST(generate_series(0, 35)) AS t(bit)
+                CROSS JOIN (SELECT DISTINCT d FROM q) AS dd(d)
+            ),
+            proj AS (
+                SELECT q.vec_id, s.bit, SUM(s.s * q.qv) AS p
+                FROM q JOIN signs s ON q.d = s.d GROUP BY q.vec_id, s.bit
+            ),
+            buckets AS (
+                SELECT vec_id, bit // 3 AS band,
+                       SUM(CASE WHEN p > 0 THEN (1 << (bit % 3)) ELSE 0 END) AS bucket
+                FROM proj GROUP BY vec_id, bit // 3
+            ),
+            qb AS (SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 8),
+            cand AS (
+                SELECT DISTINCT qb.query_id, b.vec_id
+                FROM qb JOIN buckets b ON qb.band = b.band AND qb.bucket = b.bucket
+            ),
+            s2 AS (
+                SELECT c.query_id, c.vec_id,
+                       list_cosine_similarity(qe.embedding, e.embedding) AS sim
+                FROM cand c
+                JOIN embeddings qe ON qe.vec_id = c.query_id
+                JOIN embeddings e ON e.vec_id = c.vec_id
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                       ) AS rank
+                FROM s2
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
         """,
         "ann_topk_bruteforce": """
             WITH q AS (

@@ -82,6 +82,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     timings: dict[str, float] = {}
     n_turns = 0
     recall = None  # IVF recall@k vs brute force; set on the full suite
+    lsh_recall = None  # LSH recall@k vs brute force
 
     def _drain(max_wait: float = 15.0) -> None:
         """Wait for the previous query's actor pool to release its CPUs.
@@ -215,6 +216,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
         timed("ann_bruteforce", lambda: _ann("bf", C.ann_topk_bruteforce))
         timed("ann_ivf", lambda: _ann("ivf", C.ann_topk_ivf))
+        timed("ann_lsh", lambda: _ann("lsh", C.ann_topk_lsh))
 
         def _pairs(t):
             df = t.to_pandas()
@@ -223,6 +225,9 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         if "bf" in ann_tables and "ivf" in ann_tables:
             bf, ivf = _pairs(ann_tables["bf"]), _pairs(ann_tables["ivf"])
             recall = round(len(bf & ivf) / len(bf), 4) if bf else None
+        if "bf" in ann_tables and "lsh" in ann_tables:
+            bf = _pairs(ann_tables["bf"])
+            lsh_recall = round(len(bf & _pairs(ann_tables["lsh"])) / len(bf), 4) if bf else None
         timed("doc_quality", lambda: _consume(C.doc_quality(sf_dir)))
         timed("events_window", lambda: _consume(C.events_tumbling_window(sf_dir)))
         timed("events_hopping", lambda: _consume(C.events_hopping_window(sf_dir)))
@@ -284,6 +289,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline_sec, 1) if headline_sec else None,
         "recall": recall,
+        "lsh_recall": lsh_recall,
     }
 
 

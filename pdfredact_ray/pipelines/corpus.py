@@ -1098,6 +1098,47 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_lsh(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    n_bands: int = 12,
+    bits_per_band: int = 3,
+) -> rd.Dataset:
+    """LSH-bucketed ANN — the third similarity-search path (brute-force =
+    exact baseline, IVF = centroid cells, LSH = signed random projection):
+    64 md5-derived ±1 hyperplanes over the 2^20-quantized vectors, packed
+    into 8 bands × 8 bits; a vector is scored for a query iff they share a
+    band bucket in >= 1 band (a few % of the corpus at these widths).
+
+    Scale shape: the sign matrix and query buckets are per-actor state;
+    per batch one int64 GEMM buckets the rows and one small float GEMM
+    scores the candidate slice, emitting k-row partials — no shuffle but
+    the tiny groupby(query_id) merge. Unlike IVF there is no training
+    sample or centroid build: the bucketer is data-independent, which is
+    what a streaming 100 TB ingest wants. Deterministic md5 hyperplanes +
+    exact-int bit decisions make the candidate set SQL-reproducible, so
+    the driver oracle is exact (not rows-only)."""
+    from pdfredact_ray.stages.embed import LSHTopK
+
+    emb, q = _query_set(sf_dir, n_queries)
+    partials = emb.map_batches(
+        LSHTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(q),
+            "k": k,
+            "n_bands": n_bands,
+            "bits_per_band": bits_per_band,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_concurrency(),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: final_topk(g, k=k), batch_format="pyarrow"
+    )
+
+
 # Above this corpus size the exact broadcast-GEMM near-dup path (O(corpus)
 # broadcast per actor + O(N²) similarity work) stops being viable and the
 # IVF-bucketed path takes over — mirroring MinHash's size-adaptive split.

@@ -65,6 +65,106 @@ class BruteForceTopK:
         )
 
 
+FIXED_POINT_SCALE = np.int64(1 << 20)
+
+
+def quantize_fixed_point(m: np.ndarray) -> np.ndarray:
+    """Embedding components to a 2^20 integer grid, round-half-up
+    (floor(x*S + 0.5)) — the exact-int convention shared with k-means and
+    mirrored verbatim in SQL oracles (np.round's banker's rounding is NOT)."""
+    return np.floor(m * float(FIXED_POINT_SCALE) + 0.5).astype(np.int64)
+
+
+def lsh_sign_matrix(n_bits: int, dim: int) -> np.ndarray:
+    """±1 signed-random-projection hyperplanes, derived per (bit, dim) from
+    md5('lshsign:{bit}:{dim}') parity — the ``md5_number_upper``
+    little-endian-first-8-bytes convention (see SimHasher.token_hash), so
+    the SQL oracle rebuilds the identical matrix."""
+    import hashlib
+
+    S = np.empty((n_bits, dim), dtype=np.int64)
+    for b in range(n_bits):
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"lshsign:{b}:{d}".encode()).digest()[:8], "little"
+            )
+            S[b, d] = 1 if h % 2 == 0 else -1
+    return S
+
+
+def lsh_band_buckets(
+    q_int: np.ndarray, S: np.ndarray, n_bands: int, bits_per_band: int
+) -> np.ndarray:
+    """(n, n_bands) integer bucket keys: one int64 GEMM against the sign
+    matrix, bit = projection > 0 (exact integer — no float tie ambiguity),
+    bits packed little-endian per band."""
+    proj = q_int @ S.T  # (n, n_bits)
+    bits = (proj > 0).astype(np.int64)
+    weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
+    return (bits.reshape(len(q_int), n_bands, bits_per_band) * weights).sum(axis=2)
+
+
+class LSHTopK:
+    """Actor stage: LSH-bucketed ANN — the third scale path next to
+    brute-force (exact baseline) and IVF (centroid cells). A vector is a
+    candidate for a query iff they share a band bucket in ANY band; only
+    candidates are cosine-scored. The sign matrix and query buckets are
+    built once per actor; per batch the work is one int64 GEMM (bucketing)
+    + one float GEMM over the candidate slice. Band geometry tracks the
+    corpus's neighbor-similarity profile: the default 12 bands x 3 bits
+    holds recall@10 ~0.95 on the NEAR-UNIFORM test embeddings (top-10
+    cosine only 0.24-0.49 — LSH prunes little there, as theory says); on
+    a corpus with genuine near-dups (p_bit >= 0.75) the same recall needs
+    wider bands (e.g. 8x8) that keep only a few % of rows. Approximate by
+    construction, but DETERMINISTIC — md5-derived hyperplanes +
+    exact-int bit decisions make the whole candidate set SQL-reproducible,
+    so the oracle is exact, not rows-only."""
+
+    def __init__(
+        self, queries_ref, k: int = 10, n_bands: int = 12, bits_per_band: int = 3
+    ):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids: List[int] = q["ids"]
+        qvecs = np.asarray(q["vecs"], dtype=np.float64)
+        self.Q = normalize(qvecs)
+        self.k = k
+        self.n_bands = n_bands
+        self.bits_per_band = bits_per_band
+        self.S = lsh_sign_matrix(n_bands * bits_per_band, qvecs.shape[1])
+        self.qb = lsh_band_buckets(
+            quantize_fixed_point(qvecs), self.S, n_bands, bits_per_band
+        )  # (n_queries, n_bands)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        buckets = lsh_band_buckets(
+            quantize_fixed_point(M), self.S, self.n_bands, self.bits_per_band
+        )  # (n, n_bands)
+        Xn = normalize(M)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            cand = (buckets == self.qb[qi][None, :]).any(axis=1)
+            if not cand.any():
+                continue
+            sims = Xn[cand] @ self.Q[qi]
+            ids_c = vec_ids[cand]
+            k = min(self.k, len(sims))
+            idx = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(ids_c[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
 def final_topk(group: pa.Table, k: int = 10) -> pa.Table:
     """map_groups kernel (Arrow): merge per-batch partials into the global
     top-k with a deterministic (sim desc, vec_id asc) tie-break, emit rank."""

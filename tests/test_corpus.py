@@ -764,3 +764,32 @@ def test_pair_verifier_cache_is_bounded():
     out = v(batch)
     assert out.num_rows == n // 2  # threshold 0 keeps every pair
     assert len(v._cache) <= 64
+
+
+def test_ann_lsh_recall_and_determinism(ray_session, embs):
+    """LSH-bucketed ANN: recall@10 vs the exact brute-force table >= 0.8 on
+    the near-uniform test embeddings, byte-identical across runs, and the
+    hyperplane matrix matches its md5-parity spec."""
+    import hashlib
+
+    from pdfredact_ray.pipelines.corpus import ann_topk_bruteforce, ann_topk_lsh
+    from pdfredact_ray.stages.dedup import SimHasher
+    from pdfredact_ray.stages.embed import lsh_sign_matrix
+
+    S = lsh_sign_matrix(6, 4)
+    for b in range(6):
+        for d in range(4):
+            h = int.from_bytes(hashlib.md5(f"lshsign:{b}:{d}".encode()).digest()[:8], "little")
+            assert S[b, d] == (1 if h % 2 == 0 else -1)
+
+    lsh1 = _pdf(ann_topk_lsh(SF)).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    lsh2 = _pdf(ann_topk_lsh(SF)).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lsh1, lsh2)
+
+    bf = _pdf(ann_topk_bruteforce(SF))
+    recs = []
+    for q in sorted(bf.query_id.unique()):
+        b = set(bf[bf.query_id == q].vec_id)
+        l = set(lsh1[lsh1.query_id == q].vec_id)
+        recs.append(len(b & l) / len(b))
+    assert np.mean(recs) >= 0.8, recs
