@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH-bucketed ANN (signed random projection, 12 bands x 3 bits;
         # md5-derived hyperplanes + exact-int bits -> exact SQL oracle)
         "ann_topk_lsh": C.ann_topk_lsh,
+        # k-NN majority-vote label prediction (embedding-quality eval /
+        # label propagation; exercises the embeddings.label column)
+        "knn_label_vote": C.knn_label_vote,
         "embed_cosine_near_dup": C.embed_cosine_near_dup,
         # iterative ML: fixed-point Lloyd's k-means (2 rounds, exact int64)
         "kmeans_clusters": C.kmeans_clusters,
@@ -978,6 +981,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        # k-NN label vote: brute-force neighbor ranking excluding self,
+        # per-query label histogram over rank <= 10, winner by
+        # (votes desc, label asc) — the engine's exact tie-break
+        "knn_label_vote": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+                FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+                SELECT query_id, vec_id, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                       ) AS rank
+                FROM s
+            ),
+            v AS (
+                SELECT query_id, label, COUNT(*) AS votes
+                FROM r WHERE rank <= 10 GROUP BY query_id, label
+            ),
+            w AS (
+                SELECT query_id, label, votes,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY votes DESC, label ASC
+                       ) AS rn
+                FROM v
+            )
+            SELECT w.query_id,
+                   CAST(w.label AS BIGINT) AS predicted_label,
+                   CAST(w.votes AS BIGINT) AS votes,
+                   CAST(q.true_label AS BIGINT) AS true_label,
+                   CAST(CASE WHEN w.label = q.true_label THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
+            FROM w JOIN q USING (query_id) WHERE rn = 1
         """,
         # LSH-bucketed ANN: the signs/proj/buckets CTEs rebuild the engine's
         # md5-parity hyperplane matrix and exact-int bit decisions

@@ -1139,6 +1139,91 @@ def ann_topk_lsh(
     )
 
 
+def knn_label_vote(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
+    """k-NN majority-vote label prediction — the standard embedding-quality
+    eval / label-propagation primitive: each query vector's label predicted
+    by the majority label of its k nearest neighbors (cosine, self
+    excluded), deterministic tie-break (votes desc, label asc). Emits
+    (query_id, predicted_label, votes, true_label, correct) — all ints.
+
+    Scale shape: the neighbor search is the brute-force broadcast-GEMM
+    partials (per-batch top-(k+1) so dropping a self-hit can't starve the
+    global top-k), a tiny groupby(query_id) merge, then labels fetched for
+    ONLY the k x n_queries winners via the task-based semi-join — never a
+    corpus-wide label broadcast. The vote itself is n_queries x k rows on
+    the driver. Swap the partials stage for ``IVFTopK``/``LSHTopK`` when
+    the corpus outgrows exact search; the vote plumbing is unchanged."""
+    emb, q = _query_set(sf_dir, n_queries)
+    partials = emb.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ray.put(q), "k": k + 1},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_concurrency(),
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("query_id"), t.column("vec_id"))),
+        batch_format="pyarrow",
+    )
+    topk = _collect(
+        partials.groupby("query_id").map_groups(
+            lambda g: final_topk(g, k=k), batch_format="pyarrow"
+        )
+    )
+    if topk is None or topk.num_rows == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "predicted_label": pa.array([], pa.int64()),
+                "votes": pa.array([], pa.int64()),
+                "true_label": pa.array([], pa.int64()),
+                "correct": pa.array([], pa.int64()),
+            }
+        )
+    win_ids = pa.array(
+        sorted(set(topk.column("vec_id").to_pylist()) | set(q["ids"])), pa.int64()
+    )
+    lab_tbl = _collect(
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+        ).map_batches(
+            _semi_join,
+            fn_args=(ray.put(win_ids), lambda t: _vec_id_key(t)),
+            batch_format="pyarrow",
+        )
+    )
+    labels = dict(
+        zip(lab_tbl.column("vec_id").to_pylist(), lab_tbl.column("label").to_pylist())
+    )
+    out_q, out_p, out_v, out_t, out_c = [], [], [], [], []
+    tk = topk.to_pandas()
+    for qid, grp in tk.groupby("query_id"):
+        votes: dict = {}
+        for v in grp["vec_id"]:
+            lb = int(labels[int(v)])
+            votes[lb] = votes.get(lb, 0) + 1
+        pred, nv = sorted(votes.items(), key=lambda x: (-x[1], x[0]))[0]
+        true_lb = int(labels[int(qid)])
+        out_q.append(int(qid))
+        out_p.append(pred)
+        out_v.append(nv)
+        out_t.append(true_lb)
+        out_c.append(1 if pred == true_lb else 0)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "predicted_label": pa.array(out_p, pa.int64()),
+            "votes": pa.array(out_v, pa.int64()),
+            "true_label": pa.array(out_t, pa.int64()),
+            "correct": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
+def _vec_id_key(t: pa.Table) -> pa.Array:
+    k = pc.cast(t.column("vec_id"), pa.int64())
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
 # Above this corpus size the exact broadcast-GEMM near-dup path (O(corpus)
 # broadcast per actor + O(N²) similarity work) stops being viable and the
 # IVF-bucketed path takes over — mirroring MinHash's size-adaptive split.

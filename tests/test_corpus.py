@@ -793,3 +793,32 @@ def test_ann_lsh_recall_and_determinism(ray_session, embs):
         l = set(lsh1[lsh1.query_id == q].vec_id)
         recs.append(len(b & l) / len(b))
     assert np.mean(recs) >= 0.8, recs
+
+
+def test_knn_label_vote_matches_numpy(ray_session, embs):
+    """k-NN label vote vs a direct numpy recompute (self-excluded cosine
+    top-10, majority vote, votes-desc/label-asc tie-break)."""
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.pipelines.corpus import knn_label_vote
+
+    got = knn_label_vote(SF).to_pandas().sort_values("query_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+    labels = dict(zip(ids.tolist(), t.column("label").to_pylist()))
+    all_ids, M = embs
+    order = np.argsort(all_ids)
+    for qrow in got.itertuples(index=False):
+        qi = np.flatnonzero(all_ids == qrow.query_id)[0]
+        sims = M @ M[qi]
+        mask = all_ids != qrow.query_id
+        cand_ids, cand_sims = all_ids[mask], sims[mask]
+        top = np.lexsort((cand_ids, -cand_sims))[:10]
+        votes: dict = {}
+        for v in cand_ids[top]:
+            lb = int(labels[int(v)])
+            votes[lb] = votes.get(lb, 0) + 1
+        pred, nv = sorted(votes.items(), key=lambda x: (-x[1], x[0]))[0]
+        assert qrow.predicted_label == pred and qrow.votes == nv
+        assert qrow.true_label == int(labels[int(qrow.query_id)])
+        assert qrow.correct == int(pred == qrow.true_label)
