@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": C.bloom_new_docs,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "simhash_signatures": C.simhash_signatures,
+        # substring-dedup detection pass: per doc, distinct 8-token
+        # shingles shared with >= 1 other document (Lee et al. 2022 shape)
+        "cross_doc_repeated_ngrams": C.cross_doc_repeated_ngrams,
         # --- text analysis
         "doc_token_counts": C.doc_token_counts,
         "doc_bpe_token_counts": C.doc_bpe_token_counts,
@@ -713,6 +716,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(d.sh, ev.evsh)) AS BIGINT) AS n_overlap,
                    len(list_intersect(d.sh, ev.evsh)) >= 2 AS contaminated
             FROM docsh d CROSS JOIN ev WHERE d.doc_id % 50 <> 0
+        """,
+        # cross-doc repeated 8-grams: 8-token shingles via window lead(),
+        # distinct per (doc, shingle); hot = shingles in >= 2 distinct
+        # docs; per-doc shared counts via left join. Engine-side crc32
+        # hashing vs SQL shingle strings — the documented ngram_jaccard
+        # equivalence (exact absent crc collisions).
+        "cross_doc_repeated_ngrams": r"""
+            WITH base AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+              FROM base
+            ),
+            oct AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                       || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                       || ' ' || lead(w, 7) OVER win AS shingle
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            big AS (
+              SELECT DISTINCT doc_id, shingle FROM oct WHERE shingle IS NOT NULL
+            ),
+            small AS (
+              SELECT doc_id, array_to_string(toks, ' ') AS shingle
+              FROM base WHERE len(toks) < 8 AND len(toks) > 0
+            ),
+            docsh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM (SELECT * FROM big UNION ALL SELECT * FROM small)
+            ),
+            hot AS (
+              SELECT shingle FROM docsh GROUP BY shingle
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            agg AS (
+              SELECT d.doc_id,
+                     COUNT(*) AS n_distinct,
+                     COUNT(h.shingle) AS n_shared
+              FROM docsh d LEFT JOIN hot h USING (shingle)
+              GROUP BY d.doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(a.n_shared, 0) AS BIGINT) AS n_shared,
+                   COALESCE(a.n_shared, 0) >= 1 AS flagged
+            FROM (SELECT doc_id FROM documents) b
+            LEFT JOIN agg a USING (doc_id)
         """,
         # n-gram Jaccard brute-force baseline: 3-token shingles via window
         # lead(), distinct per doc, pairwise intersect/union. The engine

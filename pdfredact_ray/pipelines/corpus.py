@@ -1139,6 +1139,121 @@ def ann_topk_lsh(
     )
 
 
+def cross_doc_repeated_ngrams(
+    sf_dir: str, k: int = 8, n_buckets: int = 64
+) -> rd.Dataset:
+    """Exact cross-document repeated-n-gram detection — the substring-dedup
+    primitive (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): per doc, how many of its distinct k-token
+    shingles also occur in at least one OTHER document, plus a flag. The
+    flagged spans are what substring-level dedup removes; this operator is
+    the detection pass.
+
+    Scale shape: pass 1 collapses each batch to distinct (shingle-crc32,
+    doc_id) int rows bucketed by hash (the dedup_exact combine shape —
+    fixed group count, vectorized per-bucket sweep) and emits only hashes
+    seen in >= 2 distinct docs; that HOT set is O(genuinely repeated
+    n-grams), broadcast once via ray.put. Pass 2 re-streams the corpus
+    counting each doc's members of the hot set with one sorted
+    ``np.isin``. At crawl-scale dup rates the hot set grows past broadcast
+    size — the fallback is keeping it a Dataset and hash-joining pass 2
+    against it on the shingle hash (same shape as the minhash verify
+    join). Engine hashes shingles with crc32; the oracle intersects
+    shingle STRINGS — identical absent crc collisions (the documented
+    ngram_jaccard equivalence, bit-for-bit green on this corpus)."""
+
+    def hash_doc_rows(t: pa.Table) -> pa.Table:
+        hs: List[np.ndarray] = []
+        ds_: List[np.ndarray] = []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            sh = word_shingles(text, k)
+            if not sh:
+                continue
+            arr = np.fromiter(sh, dtype=np.int64, count=len(sh))
+            hs.append(arr)
+            ds_.append(np.full(len(arr), doc_id, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        h = np.concatenate(hs)
+        d = np.concatenate(ds_)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+                "bucket": pa.array(h % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def hot_hashes(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        h = g.column("h").to_numpy()
+        d = g.column("doc_id").to_numpy()
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        # distinct (h, doc) then h with >= 2 members
+        first = np.r_[True, (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        h_u = h_s[first]
+        starts = np.r_[True, h_u[1:] != h_u[:-1]]
+        idx = np.flatnonzero(starts)
+        lens = np.diff(np.append(idx, len(h_u)))
+        return pa.table({"h": pa.array(h_u[idx][lens >= 2], pa.int64())})
+
+    hot = _collect(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hash_doc_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hot_hashes, batch_format="pyarrow")
+    )
+    hot_arr = (
+        np.sort(hot.column("h").to_numpy().astype(np.int64))
+        if hot is not None and hot.num_rows
+        else np.empty(0, dtype=np.int64)
+    )
+    hot_ref = ray.put(hot_arr)
+
+    def per_doc(t: pa.Table, ref) -> pa.Table:
+        ha = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+        n_dist, n_shared = [], []
+        for text in t.column("text").to_pylist():
+            sh = word_shingles(text, k)
+            if sh:
+                arr = np.fromiter(sh, dtype=np.int64, count=len(sh))
+                shared = int(
+                    np.count_nonzero(
+                        ha[np.clip(np.searchsorted(ha, arr), 0, max(len(ha) - 1, 0))]
+                        == arr
+                    )
+                    if len(ha)
+                    else 0
+                )
+            else:
+                arr = np.empty(0, dtype=np.int64)
+                shared = 0
+            n_dist.append(len(arr))
+            n_shared.append(shared)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+                "n_shared": pa.array(n_shared, pa.int64()),
+                "flagged": pa.array([n >= 1 for n in n_shared], pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, fn_args=(hot_ref,), batch_format="pyarrow"
+    )
+
+
 def knn_label_vote(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     """k-NN majority-vote label prediction — the standard embedding-quality
     eval / label-propagation primitive: each query vector's label predicted

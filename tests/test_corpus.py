@@ -822,3 +822,46 @@ def test_knn_label_vote_matches_numpy(ray_session, embs):
         assert qrow.predicted_label == pred and qrow.votes == nv
         assert qrow.true_label == int(labels[int(qrow.query_id)])
         assert qrow.correct == int(pred == qrow.true_label)
+
+
+def test_cross_doc_repeated_ngrams_planted(ray_session, tmp_path):
+    """Planted shared 8-gram: two docs sharing one 8-token run are flagged
+    with exactly one shared shingle each; a unique doc is not flagged;
+    short and empty docs behave per word_shingles(k=8) semantics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.pipelines.corpus import cross_doc_repeated_ngrams
+
+    d = str(tmp_path / "ngram_sf")
+    os.makedirs(d)
+    run = "a b c d e f g h"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    f"x1 y1 {run} z1",
+                    f"x2 {run} z2 w2",
+                    "totally unique words only here there everywhere nine ten",
+                    "tiny doc",  # < 8 tokens: one whole-doc shingle
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    got = (
+        cross_doc_repeated_ngrams(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    by = {r.doc_id: r for r in got.itertuples(index=False)}
+    assert by[1].n_shared == 1 and by[1].flagged
+    assert by[2].n_shared == 1 and by[2].flagged
+    assert by[3].n_shared == 0 and not by[3].flagged
+    assert by[4].n_distinct == 1 and by[4].n_shared == 0
+    assert by[5].n_distinct == 0 and not by[5].flagged
