@@ -796,7 +796,9 @@ def test_user_funnel_depth_sequence_rules(ray_session, tmp_path):
 
 def test_events_type_cooccurrence_mask_math(ray_session, tmp_path):
     """Pair counts derived from the mask histogram match hand counts, a
-    never-co-occurring pair emits no row, and unknown types are ignored."""
+    never-co-occurring pair emits no row, and an explicit non-strict
+    domain restriction drops out-of-domain types (the default domain now
+    RAISES on them — covered by test_cooccurrence_strict_raises)."""
     import pyarrow.parquet as pq
 
     t0 = np.datetime64("2026-04-01T00:00:00", "us")
@@ -820,7 +822,7 @@ def test_events_type_cooccurrence_mask_math(ray_session, tmp_path):
 
     got = {
         (r["type_a"], r["type_b"]): r["n_users"]
-        for r in events_type_cooccurrence(str(tmp_path)).take_all()
+        for r in events_type_cooccurrence(str(tmp_path), strict=False).take_all()
     }
     assert got == {
         ("click", "view"): 2,
