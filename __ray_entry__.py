@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # label propagation; exercises the embeddings.label column)
         "knn_label_vote": C.knn_label_vote,
         "embed_cosine_near_dup": C.embed_cosine_near_dup,
+        # embedding-level dedup FILTER (pairs -> components -> keep min)
+        "embed_dedup_filter": C.embed_dedup_filter,
         # iterative ML: fixed-point Lloyd's k-means (2 rounds, exact int64)
         "kmeans_clusters": C.kmeans_clusters,
         # --- main-content extraction (HTML boilerplate strip + DOM heuristics)
@@ -1150,6 +1152,33 @@ def oracle_sql() -> dict[str, str]:
                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
                   ) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        # embedding dedup filter: recursive reachability over the SAME
+        # cosine-pair predicate (the minhash cc_ctes pattern), keep the
+        # min vec_id per component plus every unpaired vector
+        "embed_dedup_filter": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                      ) >= 0.4
+            ),
+            cedges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            cnodes AS (SELECT DISTINCT src AS node FROM cedges),
+            reach(node, r) AS (
+                SELECT node, node FROM cnodes
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN cedges e ON r.r = e.src
+            ),
+            comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+            SELECT e.vec_id, e.label FROM embeddings e
+            LEFT JOIN comp ON e.vec_id = comp.node
+            WHERE comp.node IS NULL OR comp.component = e.vec_id
         """,
         # IVF ANN: centroids are the shared input (seeded init is not
         # SQL-expressible — see _ivf_centroid_values); cell assignment,

@@ -1345,6 +1345,55 @@ def _vec_id_key(t: pa.Table) -> pa.Array:
 BROADCAST_EMB_MAX_ROWS = 200_000
 
 
+def embed_dedup_filter(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
+    """Embedding-level dedup FILTER — completes the family
+    (pairs -> components -> filter, exactly the near_dup_dedup_filter
+    shape on the text side): cosine near-dup pairs from
+    ``embed_cosine_near_dup`` collapse into connected components (driver
+    union-find under CC_DRIVER_MAX_EDGES, large-star/small-star above),
+    keep the min vec_id per component, and the embeddings table streams
+    through one task-based broadcast anti-join of the O(near-dups) DROP
+    set. Emits the survivors' (vec_id, label) — all ints, exact oracle
+    via recursive-CTE reachability over the same pair predicate."""
+    from pdfredact_ray.stages.dedup import (
+        connected_components_distributed,
+        union_find_components,
+    )
+
+    pairs = _collect(embed_cosine_near_dup(sf_dir, threshold))
+    drop_ids = pa.array([], type=pa.int64())
+    if pairs is not None and pairs.num_rows:
+        a = pairs.column("id_a").to_numpy().astype(np.int64)
+        b = pairs.column("id_b").to_numpy().astype(np.int64)
+        labels = (
+            union_find_components(a, b)
+            if pairs.num_rows <= CC_DRIVER_MAX_EDGES
+            else connected_components_distributed(
+                pa.table({"doc_a": pairs.column("id_a"), "doc_b": pairs.column("id_b")})
+            )
+        )
+        drop = [
+            int(d)
+            for d, c in zip(
+                labels.column("doc_id").to_pylist(),
+                labels.column("component").to_pylist(),
+            )
+            if d != c
+        ]
+        drop_ids = pa.array(sorted(drop), type=pa.int64())
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+    )
+    if len(drop_ids) == 0:
+        return emb
+    return emb.map_batches(
+        _semi_join,
+        fn_args=(ray.put(drop_ids), _vec_id_key),
+        fn_kwargs={"invert": True},
+        batch_format="pyarrow",
+    )
+
+
 def embed_cosine_near_dup(
     sf_dir: str,
     threshold: float = 0.4,

@@ -865,3 +865,28 @@ def test_cross_doc_repeated_ngrams_planted(ray_session, tmp_path):
     assert by[3].n_shared == 0 and not by[3].flagged
     assert by[4].n_distinct == 1 and by[4].n_shared == 0
     assert by[5].n_distinct == 0 and not by[5].flagged
+
+
+def test_embed_dedup_filter_keeps_min_per_component(ray_session, embs):
+    """Survivors = everything minus non-min members of cosine near-dup
+    components; cross-checked against a direct numpy pair + union-find
+    recompute."""
+    from pdfredact_ray.pipelines.corpus import embed_dedup_filter
+    from pdfredact_ray.stages.dedup import union_find_components
+
+    got = set(embed_dedup_filter(SF).to_pandas().vec_id)
+    ids, M = embs
+    sims = M @ M.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = sims[iu, ju] >= 0.4
+    a = np.minimum(ids[iu[hit]], ids[ju[hit]])
+    b = np.maximum(ids[iu[hit]], ids[ju[hit]])
+    labels = union_find_components(a.astype(np.int64), b.astype(np.int64))
+    drop = {
+        int(d)
+        for d, c in zip(
+            labels.column("doc_id").to_pylist(), labels.column("component").to_pylist()
+        )
+        if d != c
+    }
+    assert got == set(ids.tolist()) - drop
