@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # substring-dedup detection pass: per doc, distinct 8-token
         # shingles shared with >= 1 other document (Lee et al. 2022 shape)
         "cross_doc_repeated_ngrams": C.cross_doc_repeated_ngrams,
+        # training sequence packing = distributed exclusive prefix-scan
+        # (range two-sweep; the SQL oracle is one window sum)
+        "doc_pack_sequences": C.doc_pack_sequences,
         # --- text analysis
         "doc_token_counts": C.doc_token_counts,
         "doc_bpe_token_counts": C.doc_bpe_token_counts,
@@ -718,6 +721,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(d.sh, ev.evsh)) AS BIGINT) AS n_overlap,
                    len(list_intersect(d.sh, ev.evsh)) >= 2 AS contaminated
             FROM docsh d CROSS JOIN ev WHERE d.doc_id % 50 <> 0
+        """,
+        # sequence packing: exclusive prefix-sum of whitespace token
+        # counts in doc_id order, floor-divided by the 512-token budget
+        "doc_pack_sequences": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512
+                        AS BIGINT) AS seq_id
+            FROM c
         """,
         # cross-doc repeated 8-grams: 8-token shingles via window lead(),
         # distinct per (doc, shingle); hot = shingles in >= 2 distinct

@@ -1139,6 +1139,127 @@ def ann_topk_lsh(
     )
 
 
+def doc_pack_sequences(
+    sf_dir: str, budget: int = 512, n_ranges: int = 64
+) -> rd.Dataset:
+    """Training sequence packing: documents concatenated in doc_id order
+    into fixed ``budget``-token sequences; each doc is assigned the
+    sequence containing its FIRST token — ``seq_id = floor(exclusive
+    prefix-sum of tokens / budget)``. Emits (doc_id, n_tokens, seq_id),
+    all ints; SQL oracle is one window sum.
+
+    This is the distributed EXCLUSIVE PREFIX-SCAN primitive, done in the
+    classic two-sweep shape with ONE tiny barrier: docs land in doc_id
+    RANGES (range = doc_id // width, width from parquet min/max stats, so
+    range order == doc order); sweep 1 is a map-only pass emitting per-
+    batch (range, partial token sum) rows — a few ints per batch — whose
+    driver cumsum yields each range's global starting offset (broadcast
+    once); sweep 2 sorts WITHIN each range group and adds the offset.
+    Group count is fixed at n_ranges and per-group size is bounded by the
+    id-range width, never by a hot key — there is no whale dimension.
+    The sequential dependency (every doc's seq depends on all prior
+    tokens) costs exactly one K-integer collect, not a global sort."""
+    import pyarrow.dataset as pads
+
+    # doc_id min/max from parquet FOOTER statistics only (no data scan);
+    # falls back to a single-column scan if a writer omitted stats
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"), format="parquet")
+    los: List[int] = []
+    his: List[int] = []
+    for frag in dset.get_fragments():
+        md = frag.metadata
+        ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                los.clear()
+                his.clear()
+                break
+            los.append(int(st.min))
+            his.append(int(st.max))
+        else:
+            continue
+        break
+    if not los:
+        ids_np = dset.to_table(columns=["doc_id"]).column("doc_id").to_numpy()
+        if len(ids_np) == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "seq_id": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        lo, hi = int(ids_np.min()), int(ids_np.max())
+    else:
+        lo, hi = min(los), max(his)
+    width = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def counted(t: pa.Table) -> pa.Table:
+        n = [len(x.split()) for x in t.column("text").to_pylist()]
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "rng": pa.array((did - lo) // width, pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(counted, batch_format="pyarrow")
+        .materialize()  # consumed by both sweeps
+    )
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        r = t.column("rng").to_numpy()
+        uniq, inv = np.unique(r, return_inverse=True)
+        from pdfredact_ray.functions.ints import group_sum
+
+        return pa.table(
+            {
+                "rng": pa.array(uniq, pa.int64()),
+                "tok": pa.array(group_sum(inv, len(uniq), t.column("n_tokens").to_numpy()), pa.int64()),
+            }
+        )
+
+    parts = _collect(counts.map_batches(range_partial, batch_format="pyarrow"))
+    totals = np.zeros(n_ranges + 1, dtype=np.int64)
+    if parts is not None:
+        np.add.at(
+            totals,
+            parts.column("rng").to_numpy().astype(np.int64),
+            parts.column("tok").to_numpy().astype(np.int64),
+        )
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def assign_seq(g: pa.Table, ref) -> pa.Table:
+        if g.num_columns == 0:
+            return g
+        offs = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+        did = g.column("doc_id").to_numpy().astype(np.int64)
+        n = g.column("n_tokens").to_numpy().astype(np.int64)
+        order = np.argsort(did, kind="stable")
+        did_s, n_s = did[order], n[order]
+        rng = int(g.column("rng")[0].as_py())
+        excl = offs[rng] + np.concatenate(([0], np.cumsum(n_s)[:-1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(did_s, pa.int64()),
+                "n_tokens": pa.array(n_s, pa.int64()),
+                "seq_id": pa.array(excl // np.int64(budget), pa.int64()),
+            }
+        )
+
+    return counts.groupby("rng").map_groups(
+        assign_seq, fn_args=(off_ref,), batch_format="pyarrow"
+    )
+
+
 def cross_doc_repeated_ngrams(
     sf_dir: str, k: int = 8, n_buckets: int = 64
 ) -> rd.Dataset:

@@ -890,3 +890,35 @@ def test_embed_dedup_filter_keeps_min_per_component(ray_session, embs):
         if d != c
     }
     assert got == set(ids.tolist()) - drop
+
+
+def test_doc_pack_sequences_prefix_scan(ray_session, tmp_path):
+    """Distributed prefix-scan correctness on SPARSE, gappy doc_ids (range
+    math can't rely on density): seq_id equals a driver-side exclusive
+    cumsum // budget, and docs never split across a wrong boundary."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdfredact_ray.pipelines.corpus import doc_pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.integers(0, 10_000_000, size=3000)).astype(np.int64)
+    texts = [" ".join(["w"] * int(n)) for n in rng.integers(0, 200, size=len(ids))]
+    d = str(tmp_path / "pack_sf")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = (
+        doc_pack_sequences(d, budget=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    excl = np.concatenate(([0], np.cumsum(n)[:-1]))
+    assert list(got.doc_id) == list(ids)
+    assert list(got.n_tokens) == list(n)
+    assert list(got.seq_id) == list(excl // 512)
