@@ -277,7 +277,9 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
 # driver-side in one numpy pass; larger corpora use the groupby shuffle.
 # 50M rows ~ 1.2 GB on the driver — comfortable; at 10^10 docs the banded
 # table is ~1.6e11 rows and takes the distributed path.
-DRIVER_BUCKET_MAX_ROWS = 50_000_000
+DRIVER_BUCKET_MAX_ROWS = int(
+    os.environ.get("GRAFT_DRIVER_BUCKET_MAX_ROWS", 50_000_000)
+)
 
 # Above this many candidate pairs the exact-Jaccard verify runs as an
 # actor-pool map_batches instead of one driver call (the measured 2M-doc
@@ -1969,7 +1971,7 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
 # list is O(near-dups), so one machine handles millions of edges in
 # milliseconds; past the gate the alternating large-star/small-star rounds
 # (stages/dedup.py) take over — the shape for crawl-scale dup clusters.
-CC_DRIVER_MAX_EDGES = 5_000_000
+CC_DRIVER_MAX_EDGES = int(os.environ.get("GRAFT_CC_DRIVER_MAX_EDGES", 5_000_000))
 
 
 def near_dup_components(sf_dir: str, threshold: float = 0.5) -> pa.Table:
