@@ -183,3 +183,65 @@ def test_generator_ground_truth_fragment_rule(ray_session, turns_file):
         assert row.n_redactions == n, (row.conv_id, row.turn_idx)
         n_hit += 1 if n > 0 else 0
     assert n_hit > 0  # corpus contains digit-run turns at every scale
+
+
+def test_redact_sorted_write_whale_conversation(ray_session, tmp_path):
+    """One conversation owning 30% of all turns rides the flagship
+    pipeline end to end: the composite (conv_id, turn_idx) sort key
+    range-partitions the whale across blocks, output is globally sorted,
+    and masked text equals the per-turn oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = 60_000
+    n_whale = int(n * 0.3)
+    rng = np.random.default_rng(5)
+    convs = [f"whale"] * n_whale + [
+        f"c{int(i):05d}" for i in rng.integers(0, 4000, size=n - n_whale)
+    ]
+    idx_by: dict = {}
+    turn_idx = []
+    for c in convs:
+        turn_idx.append(idx_by.get(c, 0))
+        idx_by[c] = turn_idx[-1] + 1
+    texts = [
+        f"turn {i} SSN 123-45-6789 body" if i % 7 == 0 else f"turn {i} plain body"
+        for i in range(n)
+    ]
+    t0 = np.datetime64("2026-05-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array([t0] * n, pa.timestamp("us")),
+        }
+    )
+    src = str(tmp_path / "whale_turns.parquet")
+    pq.write_table(tbl, src)
+
+    ds = order_restore(redact_pipeline(read_turns(src), RULES, emit_spans=False))
+    out = str(tmp_path / "whale_out")
+    ds.write_parquet(out)
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(out, format="parquet").to_table()
+    assert got.num_rows == n
+    keys = list(zip(got.column("conv_id").to_pylist(), got.column("turn_idx").to_pylist()))
+    assert keys == sorted(keys)  # global order restored despite the whale
+    # masked-text equality on a sample (incl. whale rows)
+    rs = compile_rules(RULES)
+    red = got.column("redacted_text").to_pylist()
+    orig = {
+        (c, t): x
+        for c, t, x in zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    }
+    for i in range(0, n, 997):
+        c, t = keys[i]
+        assert red[i] == redact_turn(orig[(c, t)], rs)[0]
