@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recovered text + image dims must match the generator sidecar
         "flatten_roundtrip": T.flatten_roundtrip,
         "conv_assemble": T.conv_assemble,
+        # per-turn SFT context windows (prev <=3 turns by index, md5'd);
+        # whale-proof via (conv, turn-range) groups + tail replication
+        "conv_context_windows": T.conv_context_windows,
         # resumable lineage job end-to-end (S4 sink, hash-bucket layout)
         "job_turn_counts": T.job_turn_counts,
         # --- deduplication
@@ -521,6 +524,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR) || ':split') % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        # SFT context windows: gap-aware INDEX frame (RANGE, not ROWS) —
+        # a turn's context is exactly the turns with turn_idx in
+        # [ti-3, ti-1], newline-joined in index order then md5'd; engine
+        # replicates range tails so the window never crosses a group
+        "conv_context_windows": f"""
+            SELECT conv_id, turn_idx,
+                   CAST(count(text) OVER w AS BIGINT) AS n_context_turns,
+                   md5(coalesce(string_agg(text, chr(10)) OVER w, ''))
+                       AS context_md5
+            FROM read_parquet('{turns}')
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                         RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)
         """,
         "redact_match_counts": f"""
             WITH plain AS ({plain})

@@ -326,3 +326,121 @@ def redact_fragment_digits(sf_dir: str) -> rd.Dataset:
         return keep.select(["conv_id", "turn_idx", "redacted_text", "n_redactions"])
 
     return ds.map_batches(shape, batch_format="pyarrow")
+
+
+CTX_RANGE_W = 256  # turn-index positions per context-window range group
+
+
+def conv_context_windows(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Chat-training context assembly: for every turn, the md5 of the
+    newline-joined texts of its previous turns with turn_idx in
+    [ti-k, ti-1] inside the conversation — the context window an SFT data
+    pipeline materializes per sample. INDEX (RANGE) semantics, not ROWS,
+    precisely so distribution needs no global state: a turn's context can
+    only come from k index positions back.
+
+    Whale-proof by construction (the hopping-window replication trick — no
+    size gate needed): rows land in (conv, turn_idx // CTX_RANGE_W) range
+    groups salted into a fixed bucket count; the last k index positions of
+    each range are REPLICATED into the next range as context-only shadow
+    rows, so a cross-boundary window never needs another group and a
+    10^6-turn conversation becomes ~4k independent segments instead of one
+    group. Emits (conv_id, turn_idx, n_context_turns, context_md5); the
+    SQL oracle is one RANGE-frame window over the same turns parquet."""
+    import hashlib
+
+    import numpy as np
+
+    W = np.int64(CTX_RANGE_W)
+    NB = np.int64(64)
+    ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        import zlib
+
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        ti = t.column("turn_idx").to_numpy().astype(np.int64)
+        uconv, inv = np.unique(conv, return_inverse=True)
+        ccode = np.fromiter(
+            (zlib.crc32(c.encode()) for c in uconv), dtype=np.int64, count=len(uconv)
+        )[inv]
+        rng = ti // W
+        tail = (ti % W) >= (W - np.int64(k))
+        texts = t.column("text")
+        out = pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "text": texts,
+                "rng": pa.array(rng, pa.int64()),
+                "shadow": pa.array(np.zeros(len(ti), np.int8), pa.int8()),
+                "salt": pa.array((ccode + rng) % NB, pa.int64()),
+            }
+        )
+        if tail.any():
+            sel = pa.array(np.flatnonzero(tail))
+            shadows = pa.table(
+                {
+                    "conv_id": t.column("conv_id").take(sel),
+                    "turn_idx": t.column("turn_idx").take(sel),
+                    "text": texts.take(sel),
+                    "rng": pa.array(rng[tail] + 1, pa.int64()),
+                    "shadow": pa.array(np.ones(int(tail.sum()), np.int8), pa.int8()),
+                    "salt": pa.array((ccode[tail] + rng[tail] + 1) % NB, pa.int64()),
+                }
+            )
+            out = pa.concat_tables([out, shadows])
+        return out
+
+    def per_salt(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "n_context_turns": pa.array([], pa.int64()),
+                    "context_md5": pa.array([], pa.string()),
+                }
+            )
+        conv = np.asarray(g.column("conv_id").to_pylist(), dtype=object)
+        ti = g.column("turn_idx").to_numpy().astype(np.int64)
+        rng = g.column("rng").to_numpy().astype(np.int64)
+        shadow = g.column("shadow").to_numpy().astype(bool)
+        texts = g.column("text").to_pylist()
+        uconv, ccode = np.unique(conv, return_inverse=True)
+        # segment = (conv, rng); sort by segment then turn_idx
+        order = np.lexsort((ti, rng, ccode))
+        seg_key = ccode[order] * (np.int64(1) << np.int64(32)) + rng[order]
+        ti_s = ti[order]
+        sh_s = shadow[order]
+        starts = np.flatnonzero(np.r_[True, seg_key[1:] != seg_key[:-1]])
+        bounds = np.append(starts, len(seg_key))
+        out_c, out_t, out_n, out_m = [], [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg_ti = ti_s[a:b]
+            for j in range(a, b):
+                if sh_s[j]:
+                    continue
+                t_j = ti_s[j]
+                loidx = int(np.searchsorted(seg_ti, t_j - k, side="left"))
+                hiidx = int(np.searchsorted(seg_ti, t_j, side="left"))
+                ctx_rows = [order[a + x] for x in range(loidx, hiidx)]
+                ctx = "\n".join(texts[r] for r in ctx_rows)
+                out_c.append(conv[order[j]])
+                out_t.append(int(t_j))
+                out_n.append(hiidx - loidx)
+                out_m.append(hashlib.md5(ctx.encode()).hexdigest())
+        return pa.table(
+            {
+                "conv_id": pa.array(out_c, pa.string()),
+                "turn_idx": pa.array(np.asarray(out_t, np.int64), pa.int64()).cast(pa.int32()),
+                "n_context_turns": pa.array(out_n, pa.int64()),
+                "context_md5": pa.array(out_m, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(per_salt, batch_format="pyarrow")
+    )

@@ -245,3 +245,54 @@ def test_redact_sorted_write_whale_conversation(ray_session, tmp_path):
     for i in range(0, n, 997):
         c, t = keys[i]
         assert red[i] == redact_turn(orig[(c, t)], rs)[0]
+
+
+def test_conv_context_windows_boundaries_and_gaps(ray_session, tmp_path, monkeypatch):
+    """Context windows across range-group boundaries (shrunk CTX_RANGE_W so
+    a small conv spans many ranges), with index gaps and a whale conv —
+    checked against a direct per-conv recompute."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import pdfredact_ray.pipelines.turnqueries as TQ
+
+    monkeypatch.setattr(TQ, "CTX_RANGE_W", 8)  # force many boundary crossings
+    rng = np.random.default_rng(9)
+    rows = []
+    # whale conv: 300 dense turns; gappy conv: strided idx; tiny conv
+    for c, idxs in [
+        ("whale", list(range(300))),
+        ("gappy", sorted(rng.choice(200, size=40, replace=False).tolist())),
+        ("tiny", [0, 1]),
+    ]:
+        for i in idxs:
+            rows.append((c, i, f"{c}-text-{i}"))
+    t0 = np.datetime64("2026-06-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    src = str(tmp_path / "ctx_turns.parquet")
+    pq.write_table(tbl, src)
+    monkeypatch.setattr(TQ, "ensure_turns", lambda sf: src)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_context_turns"], r["context_md5"])
+        for r in TQ.conv_context_windows("ignored", k=3).take_all()
+    }
+    assert len(got) == len(rows)
+    by_conv: dict = {}
+    for c, i, x in rows:
+        by_conv.setdefault(c, {})[i] = x
+    for c, i, _ in rows:
+        ctx_idx = [j for j in range(i - 3, i) if j in by_conv[c]]
+        ctx = "\n".join(by_conv[c][j] for j in ctx_idx)
+        assert got[(c, i)] == (len(ctx_idx), hashlib.md5(ctx.encode()).hexdigest()), (c, i)
