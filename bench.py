@@ -244,6 +244,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         from pdfredact_ray.pipelines import turnqueries as TQ
 
         timed("conv_assemble", lambda: _consume(TQ.conv_assemble(sf_dir)))
+        timed("context_windows", lambda: _consume(TQ.conv_context_windows(sf_dir)))
 
         from pdfredact_ray.pipelines import analytics as AN
 
