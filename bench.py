@@ -217,6 +217,10 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("ann_bruteforce", lambda: _ann("bf", C.ann_topk_bruteforce))
         timed("ann_ivf", lambda: _ann("ivf", C.ann_topk_ivf))
         timed("ann_lsh", lambda: _ann("lsh", C.ann_topk_lsh))
+        timed("knn_label_vote", lambda: C.knn_label_vote(sf_dir).num_rows)
+        timed("embed_dedup_filter", lambda: _consume(C.embed_dedup_filter(sf_dir)))
+        timed("cross_doc_ngrams", lambda: _consume(C.cross_doc_repeated_ngrams(sf_dir)))
+        timed("pack_sequences", lambda: _consume(C.doc_pack_sequences(sf_dir)))
 
         def _pairs(t):
             df = t.to_pandas()

@@ -38,6 +38,7 @@ from pdfredact_ray.stages.embed import (
     normalize,
 )
 from pdfredact_ray.stages.multimodal import FrameSampler, ImageDecoder, ImageResizer
+from pdfredact_ray.stages.taskstage import stage_call
 from pdfredact_ray.stages.textops import (
     LangId,
     bpe_token_counts,
@@ -501,9 +502,24 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     API returns a table; ``near_dup_components`` can consume the Dataset).
     Both paths are pytest-pinned equal."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    banded = docs.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=default_concurrency()
-    ).materialize()  # (doc_id, band_id, band_hash) ints — tiny vs the text
+    # Size-adaptive banding stage: the fixed actor pool measured 35%
+    # faster at 2M docs (59.6s vs 80s whole-pipeline — persistent actors
+    # amortize better over thousands of CPU-heavy batches) but its ~2s
+    # startup dominates small corpora (sf0.1: task path 1.7s vs 2.9s).
+    import pyarrow.dataset as pads
+
+    n_docs_est = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet"), format="parquet"
+    ).count_rows()
+    if n_docs_est > 200_000:
+        banded_lazy = docs.map_batches(
+            MinHasher, batch_format="pyarrow", concurrency=default_concurrency()
+        )
+    else:
+        banded_lazy = docs.map_batches(
+            stage_call, fn_args=(MinHasher, {}), batch_format="pyarrow"
+        )
+    banded = banded_lazy.materialize()  # (doc_id, band_id, band_hash) ints
 
     empty = pa.table(
         {
@@ -685,7 +701,7 @@ def decontaminate(sf_dir: str, k: int = 3, min_overlap: int = 2) -> rd.Dataset:
             )
 
     return docs.map_batches(
-        _Overlap, batch_format="pyarrow", concurrency=default_concurrency()
+        stage_call, fn_args=(_Overlap, {}), batch_format="pyarrow"
     )
 
 
@@ -1053,11 +1069,10 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8) -> rd.Data
     emb, q = _query_set(sf_dir, n_queries)
     q_ref = ray.put(q)
     partials = emb.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": q_ref, "k": k},
+        stage_call,
+        fn_args=(BruteForceTopK, {"queries_ref": q_ref, "k": k}),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: final_topk(g, k=k), batch_format="pyarrow"
@@ -1083,17 +1098,19 @@ def ann_topk_ivf(
     sample = np.stack([np.asarray(v, np.float64) for v in sample_tbl.column("embedding").to_pylist()])
     cents = build_ivf_centroids(sample, n_cells)
     partials = emb.map_batches(
-        IVFTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ray.put(q),
-            "centroids_ref": ray.put(cents),
-            "k": k,
-            "nprobe": nprobe,
-            "n_assign": n_assign,
-        },
+        stage_call,
+        fn_args=(
+            IVFTopK,
+            {
+                "queries_ref": ray.put(q),
+                "centroids_ref": ray.put(cents),
+                "k": k,
+                "nprobe": nprobe,
+                "n_assign": n_assign,
+            },
+        ),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: final_topk(g, k=k), batch_format="pyarrow"
@@ -1125,16 +1142,18 @@ def ann_topk_lsh(
 
     emb, q = _query_set(sf_dir, n_queries)
     partials = emb.map_batches(
-        LSHTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ray.put(q),
-            "k": k,
-            "n_bands": n_bands,
-            "bits_per_band": bits_per_band,
-        },
+        stage_call,
+        fn_args=(
+            LSHTopK,
+            {
+                "queries_ref": ray.put(q),
+                "k": k,
+                "n_bands": n_bands,
+                "bits_per_band": bits_per_band,
+            },
+        ),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: final_topk(g, k=k), batch_format="pyarrow"
@@ -1393,11 +1412,10 @@ def knn_label_vote(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     the corpus outgrows exact search; the vote plumbing is unchanged."""
     emb, q = _query_set(sf_dir, n_queries)
     partials = emb.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ray.put(q), "k": k + 1},
+        stage_call,
+        fn_args=(BruteForceTopK, {"queries_ref": ray.put(q), "k": k + 1}),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_concurrency(),
     ).map_batches(
         lambda t: t.filter(pc.not_equal(t.column("query_id"), t.column("vec_id"))),
         batch_format="pyarrow",
@@ -1547,11 +1565,13 @@ def embed_cosine_near_dup(
         )
         corpus_ref = ray.put({"ids": ids, "vecs": vecs})
         pairs = emb.map_batches(
-            CosinePairFinder,
-            fn_constructor_kwargs={"corpus_ref": corpus_ref, "threshold": threshold},
+            stage_call,
+            fn_args=(
+                CosinePairFinder,
+                {"corpus_ref": corpus_ref, "threshold": threshold},
+            ),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=default_concurrency(),
         )
         return pairs.sort(["id_a", "id_b"])
 
@@ -1561,11 +1581,10 @@ def embed_cosine_near_dup(
     )
     cents = build_ivf_centroids(sample, n_cells)
     assigned = emb.map_batches(
-        CellAssigner,
-        fn_constructor_kwargs={"centroids_ref": ray.put(cents), "nprobe": nprobe},
+        stage_call,
+        fn_args=(CellAssigner, {"centroids_ref": ray.put(cents), "nprobe": nprobe}),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=default_concurrency(),
     )
     pairs = assigned.groupby("cell_id").map_groups(
         lambda g: cell_cosine_pairs(g, threshold), batch_format="pyarrow"
