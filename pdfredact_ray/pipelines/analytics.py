@@ -303,11 +303,12 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     df_map = dict(zip(uniq.tolist(), dfs.tolist()))
     n_docs = docs.count()
     df_ref = ray.put(df_map)
+    from pdfredact_ray.stages.taskstage import stage_call
+
     return docs.map_batches(
-        _TfIdfScorer,
-        fn_constructor_args=(df_ref, n_docs, k),
+        stage_call,
+        fn_args=(_TfIdfScorer, {"df_ref": df_ref, "n_docs": n_docs, "k": k}),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
 
 

@@ -708,7 +708,7 @@ def decontaminate(sf_dir: str, k: int = 3, min_overlap: int = 2) -> rd.Dataset:
 def simhash_signatures(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash + 4×16-bit band keys per doc (near-dup bucketing)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=default_concurrency()
+        stage_call, fn_args=(SimHasher, {}), batch_format="pyarrow"
     )
 
 
@@ -1035,7 +1035,7 @@ def doc_rolling_fingerprints(sf_dir: str) -> rd.Dataset:
 
 def doc_langid(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_concurrency()
+        stage_call, fn_args=(LangId, {}), batch_format="pyarrow"
     )
 
 
@@ -1606,7 +1606,9 @@ def _html_extracted(sf_dir: str, pool: int) -> rd.Dataset:
     pages = rd.read_parquet(path, columns=["doc_id", "html"]).map_batches(
         lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
     )
-    return pages.map_batches(HtmlExtractor, batch_format="pyarrow", concurrency=pool)
+    return pages.map_batches(
+        stage_call, fn_args=(HtmlExtractor, {}), batch_format="pyarrow"
+    )
 
 
 def html_extract_text(sf_dir: str) -> rd.Dataset:
