@@ -922,3 +922,31 @@ def test_doc_pack_sequences_prefix_scan(ray_session, tmp_path):
     assert list(got.doc_id) == list(ids)
     assert list(got.n_tokens) == list(n)
     assert list(got.seq_id) == list(excl // 512)
+
+
+def test_taskstage_cache_reuses_and_bounds():
+    """stage_call constructs once per (class, ctor kwargs) per worker,
+    distinguishes configs, and evicts FIFO at the cap."""
+    import pdfredact_ray.stages.taskstage as TS
+
+    built = []
+
+    class Probe:
+        def __init__(self, tag=0):
+            built.append(tag)
+            self.tag = tag
+
+        def __call__(self, batch):
+            return batch
+
+    TS._CACHE.clear()
+    t = pa.table({"x": pa.array([1, 2])})
+    for _ in range(3):
+        TS.stage_call(t, Probe, {"tag": 1})
+    assert built == [1]  # constructed once, reused
+    TS.stage_call(t, Probe, {"tag": 2})
+    assert built == [1, 2]  # distinct config -> distinct instance
+    for i in range(3, 3 + TS._CACHE_MAX):
+        TS.stage_call(t, Probe, {"tag": i})
+    assert len(TS._CACHE) <= TS._CACHE_MAX
+    TS._CACHE.clear()
