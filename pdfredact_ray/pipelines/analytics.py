@@ -679,18 +679,23 @@ def events_type_cooccurrence(
             u = np.unique(np.asarray(t.column("event_type").to_pylist(), dtype=object))
             return pa.table({"event_type": pa.array(u, pa.string())})
 
-        seen = pa.concat_tables(
-            [
-                t
-                for t in ray.get(
-                    _events(sf_dir, ["event_type"])
-                    .map_batches(distinct_types, batch_format="pyarrow")
-                    .materialize().to_arrow_refs()
-                )
-                if len(t.schema)
-            ]
+        seen_blocks = [
+            t
+            for t in ray.get(
+                _events(sf_dir, ["event_type"])
+                .map_batches(distinct_types, batch_format="pyarrow")
+                .materialize().to_arrow_refs()
+            )
+            if len(t.schema)
+        ]
+        # degenerate empty events table: no blocks survive the filter —
+        # the domain is empty and the matrix below falls out as zero rows
+        # (mirrors the hist_blocks guard in quality_percentile_filter)
+        types = (
+            tuple(sorted({s for t in seen_blocks for s in t.column("event_type").to_pylist()}))
+            if seen_blocks
+            else ()
         )
-        types = tuple(sorted(set(seen.column("event_type").to_pylist())))
     if len(types) > COOC_MAX_TYPES:
         raise ValueError(
             f"{len(types)} event types exceeds COOC_MAX_TYPES={COOC_MAX_TYPES}; "
@@ -925,9 +930,16 @@ def _funnel_depth_distributed(sf_dir: str, steps: tuple) -> rd.Dataset:
             .map_groups(_user_min_combine, batch_format="pyarrow")
             .materialize()  # consumed twice: next round's join + depth union
         )
+        # t_s is downstream of map_groups, which emits zero-column empty
+        # tables when a step has NO qualifying events (e.g. no purchase ever
+        # follows a click) — both consumers must pass those through like
+        # _user_min_combine itself does, so the funnel degrades to depth<k
+        # rows instead of crashing
         depth_rows.append(
             t_s.map_batches(
-                lambda t, s=s: pa.table(
+                lambda t, s=s: t
+                if t.num_columns == 0
+                else pa.table(
                     {
                         "user_id": t.column("user_id"),
                         "d": pa.array(
@@ -945,7 +957,8 @@ def _funnel_depth_distributed(sf_dir: str, steps: tuple) -> rd.Dataset:
         # rename t -> t_r so the next join's probe filter can't collide
         # with the event column names
         t_prev = t_s.map_batches(
-            lambda t: t.rename_columns(["user_id", "t_r"]), batch_format="pyarrow"
+            lambda t: t if t.num_columns == 0 else t.rename_columns(["user_id", "t_r"]),
+            batch_format="pyarrow",
         )
 
     union = depth_rows[0]

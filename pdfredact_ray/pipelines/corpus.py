@@ -383,6 +383,13 @@ def _emit_bucket_pairs(g: pa.Table) -> pa.Table:
         )
     key = g.column("bucket_key").to_numpy().astype(np.int64)
     did = g.column("doc_id").to_numpy().astype(np.int64)
+    if len(did) and did.min() < 0:
+        # the marker convention reserves negative ids — a corpus with real
+        # negative doc_ids would have pairs silently reclassified as markers
+        raise ValueError(
+            "minhash_near_dup_pairs requires doc_id >= 0 (negative doc_a/doc_b "
+            "rows carry the capped-bucket truncation counts in-band)"
+        )
     order = np.argsort(key, kind="stable")
     pairs, capped, dropped = _buckets_to_pairs(key[order], did[order])
     da = pairs[:, 0]
@@ -1126,9 +1133,11 @@ def ann_topk_lsh(
 ) -> rd.Dataset:
     """LSH-bucketed ANN — the third similarity-search path (brute-force =
     exact baseline, IVF = centroid cells, LSH = signed random projection):
-    64 md5-derived ±1 hyperplanes over the 2^20-quantized vectors, packed
-    into 8 bands × 8 bits; a vector is scored for a query iff they share a
-    band bucket in >= 1 band (a few % of the corpus at these widths).
+    n_bands · bits_per_band md5-derived ±1 hyperplanes (36 at the 12-band ×
+    3-bit defaults — the oracle's generate_series(0, 35)) over the
+    2^20-quantized vectors, packed into per-band bit keys; a vector is
+    scored for a query iff they share a band bucket in >= 1 band (a few %
+    of the corpus at these widths).
 
     Scale shape: the sign matrix and query buckets are per-actor state;
     per batch one int64 GEMM buckets the rows and one small float GEMM

@@ -588,7 +588,11 @@ def _asof_view_distributed(sf_dir: str, window_us: int = ASOF_WINDOW_US) -> rd.D
         )
 
     summaries = staged.filter(expr="kind == 2").map_batches(
-        lambda t: pa.table(
+        # groupby/map_groups stages can emit zero-column empty tables on
+        # degenerate inputs — pass them through like per_salt's own guard
+        lambda t: t
+        if t.num_columns == 0
+        else pa.table(
             {
                 "comp": t.column("comp"),
                 "matched": t.column("matched"),

@@ -351,6 +351,12 @@ def conv_context_windows(sf_dir: str, k: int = 3) -> rd.Dataset:
 
     import numpy as np
 
+    if k >= CTX_RANGE_W:
+        raise ValueError(
+            f"context width k={k} must be < CTX_RANGE_W={CTX_RANGE_W}: the "
+            "range groups replicate only the last k index positions forward, "
+            "so a wider window would be silently truncated at range boundaries"
+        )
     W = np.int64(CTX_RANGE_W)
     NB = np.int64(64)
     ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"])
