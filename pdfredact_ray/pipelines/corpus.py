@@ -1522,15 +1522,7 @@ def embed_dedup_filter(sf_dir: str, threshold: float = 0.4) -> rd.Dataset:
                 pa.table({"doc_a": pairs.column("id_a"), "doc_b": pairs.column("id_b")})
             )
         )
-        drop = [
-            int(d)
-            for d, c in zip(
-                labels.column("doc_id").to_pylist(),
-                labels.column("component").to_pylist(),
-            )
-            if d != c
-        ]
-        drop_ids = pa.array(sorted(drop), type=pa.int64())
+        drop_ids = _noncanonical_ids(labels)
     emb = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
     )
@@ -2004,12 +1996,44 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
 CC_DRIVER_MAX_EDGES = int(os.environ.get("GRAFT_CC_DRIVER_MAX_EDGES", 5_000_000))
 
 
-def near_dup_components(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+def _noncanonical_ids(labels) -> pa.Array:
+    """Sorted drop-id array (doc_id != component) from a (doc_id, component)
+    label table OR Dataset. The Dataset path (the above-gate CC output)
+    filters non-canonicals DISTRIBUTEDLY and collects only the surviving
+    skinny id column — the driver never sees the full label set. The drop
+    list itself must land driver-side regardless: every downstream filter
+    broadcasts it via ``ray.put`` into a vectorized anti-join (at dup rates
+    where even the drop list outgrows broadcast, the filter becomes a
+    Dataset hash-join on doc_id — the minhash-verify join shape)."""
+    if isinstance(labels, pa.Table):
+        d = labels.column("doc_id").to_numpy().astype(np.int64)
+        c = labels.column("component").to_numpy().astype(np.int64)
+        return pa.array(np.sort(d[d != c]), type=pa.int64())
+
+    def _drops(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = pc.invert(pc.equal(t.column("doc_id"), t.column("component")))
+        return pa.table({"doc_id": t.column("doc_id").filter(keep)})
+
+    tbl = _collect(labels.map_batches(_drops, batch_format="pyarrow"))
+    if tbl is None or tbl.num_rows == 0:
+        return pa.array([], type=pa.int64())
+    return pa.array(
+        np.sort(tbl.column("doc_id").to_numpy().astype(np.int64)), type=pa.int64()
+    )
+
+
+def near_dup_components(sf_dir: str, threshold: float = 0.5):
     """Near-dup clustering: MinHash+LSH verified pairs -> connected
     components; (doc_id, component) for every doc in at least one pair,
     component = min member id. The composition that turns pairwise
     near-dups into dedup GROUPS (a pair list alone can't drive a filter —
-    transitive chains a~b~c must collapse to one group)."""
+    transitive chains a~b~c must collapse to one group).
+
+    Returns a pa.Table below ``CC_DRIVER_MAX_EDGES`` (the pair list is tiny
+    — one union-find pass) and a Ray DATASET above it (large-star/small-star
+    labels never land on the driver)."""
     from pdfredact_ray.stages.dedup import (
         connected_components_distributed,
         union_find_components,
@@ -2028,18 +2052,10 @@ def near_dup_dedup_filter(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     near-dup component (keep the min doc_id per component). Same broadcast
     discipline as ``dedup_filter``: the DROP set is O(near-dups); the
     corpus streams through one task-based vectorized anti-join."""
-    labels = near_dup_components(sf_dir, threshold)
-    drop = [
-        int(d)
-        for d, c in zip(
-            labels.column("doc_id").to_pylist(), labels.column("component").to_pylist()
-        )
-        if d != c
-    ]
+    drop_ids = _noncanonical_ids(near_dup_components(sf_dir, threshold))
     docs = _docs(sf_dir, ["doc_id", "text"])
-    if not drop:
+    if len(drop_ids) == 0:
         return docs
-    drop_ids = pa.array(sorted(drop), type=pa.int64())
     return docs.map_batches(
         _semi_join,
         fn_args=(ray.put(drop_ids), _doc_id_key),
@@ -2201,14 +2217,7 @@ def corpus_clean(
     then streams through ONE actor-pool pass that applies all four gates —
     no extra sweep per filter, no shuffle at all in the filtering pass."""
     exact_drop = set(exact_dup_ids(sf_dir).to_pylist())
-    labels = near_dup_components(sf_dir)
-    near_drop = {
-        int(d)
-        for d, c in zip(
-            labels.column("doc_id").to_pylist(), labels.column("component").to_pylist()
-        )
-        if d != c
-    }
+    near_drop = set(_noncanonical_ids(near_dup_components(sf_dir)).to_pylist())
     drop = pa.array(sorted(exact_drop | near_drop), type=pa.int64())
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _clean_batch,

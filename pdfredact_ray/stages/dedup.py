@@ -343,22 +343,74 @@ def _small_star_group(g: pa.Table) -> pa.Table:
     )
 
 
-def connected_components_distributed(edges, max_iters: int = 32) -> pa.Table:
+def _edge_sig_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (count, xor-checksum) partial for the convergence check —
+    one 2-int row per block, so the driver's per-round reduce sees O(blocks)
+    rows instead of the full O(edges) list."""
+    if t.num_columns == 0 or t.num_rows == 0:
+        return pa.table(
+            {"n": pa.array([0], pa.int64()), "x": pa.array([0], pa.int64())}
+        )
+    s = t.column("src").to_numpy().astype(np.int64)
+    d = t.column("dst").to_numpy().astype(np.int64)
+    x = int(np.bitwise_xor.reduce((s * 1000003 + d) % (1 << 61), initial=0))
+    return pa.table(
+        {"n": pa.array([t.num_rows], pa.int64()), "x": pa.array([x], pa.int64())}
+    )
+
+
+def _edge_signature(ds) -> Tuple[int, int]:
+    """Distributed edge-multiset signature: xor is associative/commutative,
+    so per-block partials combine exactly in any order."""
+    import ray
+
+    n_tot, x_tot = 0, 0
+    for blk in ray.get(
+        ds.map_batches(_edge_sig_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if blk.num_columns == 0 or blk.num_rows == 0:
+            continue
+        n_tot += int(np.sum(blk.column("n").to_numpy()))
+        x_tot ^= int(np.bitwise_xor.reduce(blk.column("x").to_numpy(), initial=0))
+    return n_tot, x_tot
+
+
+def _star_labels_batch(t: pa.Table) -> pa.Table:
+    """Fixpoint star edges (v, root) -> label rows for v AND the root
+    itself; the downstream groupby(doc_id).min dedups the root copies."""
+    if t.num_columns == 0:
+        return t
+    s = t.column("src").combine_chunks()
+    d = t.column("dst").combine_chunks()
+    return pa.table(
+        {
+            "doc_id": pa.concat_arrays([s, d]),
+            "component": pa.concat_arrays([d, d]),
+        }
+    )
+
+
+def connected_components_distributed(edges, max_iters: int = 32):
     """Large-star/small-star over a Ray Dataset built from the (doc_a,
-    doc_b) pair table; returns the same (doc_id, component) table as
-    ``union_find_components``. Convergence = the edge multiset checksum and
-    count are stable across a full large+small round (both phases are
-    monotone toward the star fixpoint, so a stable pair is a fixpoint).
+    doc_b) pair table; returns a DATASET with the same (doc_id, component)
+    rows as ``union_find_components`` — labels never land on the driver
+    (callers behind the ``CC_DRIVER_MAX_EDGES`` gate use the union-find
+    table instead). Convergence = the edge multiset (count, xor-checksum)
+    signature is stable across a full large+small round (both phases are
+    monotone toward the star fixpoint, so a stable multiset is a fixpoint);
+    the signature is a distributed per-block partial aggregate — O(blocks)
+    driver rows per round, never the O(edges) list.
 
     ``edges`` is a pa.Table OR an already-distributed Dataset with
     (doc_a, doc_b) columns — the latter keeps the crawl-scale pair list
     off the driver end to end (pairs come straight from the bucketed
     map_groups emission in ``minhash_near_dup_pairs``)."""
-    import ray
     import ray.data as rd
 
-    empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
     )
     if isinstance(edges, pa.Table):
         if edges.num_rows == 0:
@@ -421,29 +473,24 @@ def connected_components_distributed(edges, max_iters: int = 32) -> pa.Table:
         ds = _dedup_edges(
             hi_lo.groupby("src").map_groups(_small_star_group, batch_format="pyarrow")
         ).filter(expr="src != dst").materialize()
-        blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
-        tbl = (
-            pa.concat_tables(blocks)
-            if blocks
-            else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        )
-        s = tbl.column("src").to_numpy().astype(np.int64)
-        d = tbl.column("dst").to_numpy().astype(np.int64)
-        sig = (len(s), int(np.bitwise_xor.reduce((s * 1000003 + d) % (1 << 61), initial=0)))
+        sig = _edge_signature(ds)
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
-    # fixpoint edges are stars (v, root): labels = edges + roots themselves
-    nodes = np.concatenate([s, d])
-    comp = np.concatenate([d, d])
-    order = np.argsort(nodes, kind="stable")
-    nodes_s, comp_s = nodes[order], comp[order]
-    keep = np.concatenate(([True], nodes_s[1:] != nodes_s[:-1]))
-    return pa.table(
-        {
-            "doc_id": pa.array(nodes_s[keep], pa.int64()),
-            "component": pa.array(comp_s[keep], pa.int64()),
-        }
+    # fixpoint edges are stars (v, root): labels = edges + the roots
+    # themselves, deduped with one skinny groupby — the label table stays a
+    # Dataset end to end
+    labels = (
+        ds.map_batches(_star_labels_batch, batch_format="pyarrow")
+        .groupby("doc_id")
+        .min("component")
+        .map_batches(
+            lambda t: t
+            if t.num_columns == 0
+            else t.rename_columns(["doc_id", "component"]),
+            batch_format="pyarrow",
+        )
     )
+    return labels

@@ -185,11 +185,86 @@ def test_cc_distributed_equals_union_find(ray_session):
                 "doc_b": pa.array([e[1] for e in edges], pa.int64()),
             }
         )
-        got = connected_components_distributed(tbl)
-        dist = dict(
-            zip(got.column("doc_id").to_pylist(), got.column("component").to_pylist())
-        )
+        got = connected_components_distributed(tbl).to_pandas()
+        dist = dict(zip(got["doc_id"].tolist(), got["component"].tolist()))
         assert dist == _uf(edges)
+
+
+def test_cc_distributed_no_edge_list_driver_collect(ray_session):
+    """The convergence check must be a distributed partial aggregate: every
+    table collected to the driver DURING the star rounds is O(blocks) (one
+    2-int row per block), never the O(edges) list, and the labels come back
+    as a Dataset the test collects itself."""
+    import ray
+    import ray.data as rd
+
+    from pdfredact_ray.stages import dedup as dd
+
+    n = 3000  # one long chain -> log^2 rounds, edge list stays ~n per round
+    tbl = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n - 1, dtype=np.int64), pa.int64()),
+            "doc_b": pa.array(np.arange(1, n, dtype=np.int64), pa.int64()),
+        }
+    )
+
+    collected_rows = []
+    orig = rd.Dataset.to_arrow_refs
+
+    def spy(self):
+        refs = orig(self)
+        collected_rows.append(sum(t.num_rows for t in ray.get(refs)))
+        return refs
+
+    rd.Dataset.to_arrow_refs = spy
+    try:
+        labels_ds = dd.connected_components_distributed(tbl)
+        during = list(collected_rows)  # collects before the test's own
+    finally:
+        rd.Dataset.to_arrow_refs = orig
+    assert during, "expected per-round signature collects"
+    # signature partials: one row per block — far below the edge count
+    assert max(during) < 200, during
+    got = labels_ds.to_pandas()
+    lab = dict(zip(got["doc_id"].tolist(), got["component"].tolist()))
+    assert lab == {i: 0 for i in range(n)}
+
+
+def test_edge_signature_partial_aggregate(ray_session):
+    """_edge_signature == the old driver-side (count, xor) on the same
+    edges, regardless of block layout."""
+    import ray.data as rd
+
+    from pdfredact_ray.stages.dedup import _edge_signature
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, 10_000, size=5_000).astype(np.int64)
+    d = rng.integers(0, 10_000, size=5_000).astype(np.int64)
+    want = (
+        len(s),
+        int(np.bitwise_xor.reduce((s * 1000003 + d) % (1 << 61), initial=0)),
+    )
+    tbl = pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(
+            [tbl.slice(i * 800, 800) for i in range((5_000 + 799) // 800)][:n_blocks]
+            if n_blocks > 1
+            else [tbl]
+        )
+        if n_blocks == 1:
+            assert _edge_signature(ds) == want
+        else:
+            # partial slices: recompute expectation on the actual rows
+            sub = pa.concat_tables(
+                [tbl.slice(i * 800, 800) for i in range(n_blocks)]
+            )
+            ss = sub.column("src").to_numpy().astype(np.int64)
+            dd_ = sub.column("dst").to_numpy().astype(np.int64)
+            w2 = (
+                len(ss),
+                int(np.bitwise_xor.reduce((ss * 1000003 + dd_) % (1 << 61), initial=0)),
+            )
+            assert _edge_signature(ds) == w2
 
 
 def test_near_dup_components_and_filter(ray_session):

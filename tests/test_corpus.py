@@ -744,7 +744,13 @@ def test_near_dup_components_forced_distributed_matches(ray_session):
         ).reset_index(drop=True)
     finally:
         cc.DRIVER_BUCKET_MAX_ROWS, cc.CC_DRIVER_MAX_EDGES = saved_rows, saved_edges
-    assert fast_comp.sort_by("doc_id").equals(dist_comp.sort_by("doc_id"))
+    # above the (forced-zero) gate the labels come back as a Dataset —
+    # the 100 TB shape where they never land on the driver
+    assert not isinstance(dist_comp, pa.Table)
+    dist_tbl = pa.Table.from_pandas(
+        dist_comp.to_pandas(), preserve_index=False
+    ).cast(fast_comp.schema)
+    assert fast_comp.sort_by("doc_id").equals(dist_tbl.sort_by("doc_id"))
     pd.testing.assert_frame_equal(fast_filter, dist_filter)
 
 
