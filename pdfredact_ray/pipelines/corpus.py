@@ -1290,6 +1290,123 @@ def doc_pack_sequences(
     )
 
 
+def _cross_doc_ngrams_joined(
+    sf_dir: str, hot_ds: rd.Dataset, hash_doc_rows, k: int, n_buckets: int
+) -> rd.Dataset:
+    """Above-gate leg of ``cross_doc_repeated_ngrams``: the hot-shingle set
+    stays a Dataset and pass 2 hash-joins against it on the shingle hash —
+    the same co-partitioned shape as the minhash verify join
+    (corpus.py ``_minhash_pairs_distributed`` step 3), so no driver
+    collect and no broadcast of an unbounded set anywhere:
+
+    1. distinct (h, doc_id) shingle rows ⋈ hot(h)  [inner hash join — the
+       one corpus-sized exchange, 2 ints per row];
+    2. per-doc shared counts via per-batch partials + a fixed-bucket
+       vectorized combine (the dedup_exact shape);
+    3. per-doc distinct counts (no shuffle) LEFT-OUTER join the shared
+       counts on doc_id — absent rows are unshared docs (n_shared=0)."""
+    import pyarrow.dataset as pads
+
+    from pdfredact_ray.pipelines.relational import join_partitions
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def distinct_counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        nd = [len(word_shingles(text, k)) for text in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_distinct": pa.array(nd, pa.int64()),
+            }
+        )
+
+    n_docs_est = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet"), format="parquet"
+    ).count_rows()
+    shingle_parts = join_partitions(n_docs_est * 64, row_bytes=16)
+
+    shingles = (
+        docs.map_batches(hash_doc_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t if t.num_columns == 0 else t.select(["h", "doc_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    joined = shingles.join(
+        hot_ds, join_type="inner", num_partitions=shingle_parts, on=("h",)
+    )
+
+    NBC = np.int64(1024)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cbucket": pa.array([], pa.int64()),
+                }
+            )
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        uniq, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "cbucket": pa.array(uniq % NBC, pa.int64()),
+            }
+        )
+
+    def count_combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+            )
+        d = g.column("doc_id").to_numpy().astype(np.int64)
+        n = g.column("n").to_numpy().astype(np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table(
+            {"doc_id": pa.array(uniq, pa.int64()), "n_shared": pa.array(tot, pa.int64())}
+        )
+
+    shared = (
+        joined.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(count_combine, batch_format="pyarrow")
+    )
+    out = docs.map_batches(distinct_counts, batch_format="pyarrow").join(
+        shared,
+        join_type="left_outer",
+        num_partitions=join_partitions(n_docs_est, row_bytes=16),
+        on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        ns = pc.fill_null(t.column("n_shared"), 0).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_distinct": t.column("n_distinct"),
+                "n_shared": ns,
+                "flagged": pc.greater_equal(ns, 1),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# Hot-shingle rows up to this count are collected and ray.put-broadcast to
+# pass 2 (a sorted int64 array — 50M rows ~ 400 MB object-store, read
+# zero-copy per task). A crawl-scale dup rate grows the hot set past any
+# broadcast; above the gate it stays a Dataset and pass 2 hash-joins it.
+HOTSET_MAX_ROWS = int(os.environ.get("GRAFT_HOTSET_MAX_ROWS", 50_000_000))
+
+
 def cross_doc_repeated_ngrams(
     sf_dir: str, k: int = 8, n_buckets: int = 64
 ) -> rd.Dataset:
@@ -1303,15 +1420,18 @@ def cross_doc_repeated_ngrams(
     Scale shape: pass 1 collapses each batch to distinct (shingle-crc32,
     doc_id) int rows bucketed by hash (the dedup_exact combine shape —
     fixed group count, vectorized per-bucket sweep) and emits only hashes
-    seen in >= 2 distinct docs; that HOT set is O(genuinely repeated
-    n-grams), broadcast once via ray.put. Pass 2 re-streams the corpus
-    counting each doc's members of the hot set with one sorted
-    ``np.isin``. At crawl-scale dup rates the hot set grows past broadcast
-    size — the fallback is keeping it a Dataset and hash-joining pass 2
-    against it on the shingle hash (same shape as the minhash verify
-    join). Engine hashes shingles with crc32; the oracle intersects
-    shingle STRINGS — identical absent crc collisions (the documented
-    ngram_jaccard equivalence, bit-for-bit green on this corpus)."""
+    seen in >= 2 distinct docs. Size-gated like minhash_near_dup_pairs:
+    up to ``HOTSET_MAX_ROWS`` that HOT set broadcasts once via ray.put and
+    pass 2 re-streams the corpus counting each doc's members with one
+    sorted ``searchsorted``; ABOVE the gate (crawl-scale dup rates) the
+    hot set stays a Dataset and pass 2's distinct shingle rows HASH-JOIN
+    it on the crc32 hash ``h`` (the minhash verify-join shape), with
+    per-doc shared counts from a bucketed combine and a left-outer join
+    back onto the per-doc distinct counts — nothing O(hot set) ever lands
+    on the driver. Both paths are pytest-pinned equal. Engine hashes
+    shingles with crc32; the oracle intersects shingle STRINGS — identical
+    absent crc collisions (the documented ngram_jaccard equivalence,
+    bit-for-bit green on this corpus)."""
 
     def hash_doc_rows(t: pa.Table) -> pa.Table:
         hs: List[np.ndarray] = []
@@ -1358,12 +1478,16 @@ def cross_doc_repeated_ngrams(
         lens = np.diff(np.append(idx, len(h_u)))
         return pa.table({"h": pa.array(h_u[idx][lens >= 2], pa.int64())})
 
-    hot = _collect(
+    hot_ds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(hash_doc_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(hot_hashes, batch_format="pyarrow")
+        .materialize()
     )
+    if hot_ds.count() > HOTSET_MAX_ROWS:
+        return _cross_doc_ngrams_joined(sf_dir, hot_ds, hash_doc_rows, k, n_buckets)
+    hot = _collect(hot_ds)
     hot_arr = (
         np.sort(hot.column("h").to_numpy().astype(np.int64))
         if hot is not None and hot.num_rows

@@ -873,6 +873,35 @@ def test_cross_doc_repeated_ngrams_planted(ray_session, tmp_path):
     assert by[5].n_distinct == 0 and not by[5].flagged
 
 
+def test_cross_doc_ngrams_forced_join_path_matches(ray_session, tmp_path):
+    """HOTSET_MAX_ROWS forced to 0 takes the hash-join leg (hot set stays a
+    Dataset; per-doc shared counts via join + bucketed combine) — output
+    must equal the broadcast leg row for row, including the planted-corpus
+    edge cases (short doc, empty doc)."""
+    import pdfredact_ray.pipelines.corpus as cc
+
+    fast = (
+        cc.cross_doc_repeated_ngrams(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    saved = cc.HOTSET_MAX_ROWS
+    try:
+        cc.HOTSET_MAX_ROWS = 0
+        joined = (
+            cc.cross_doc_repeated_ngrams(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        cc.HOTSET_MAX_ROWS = saved
+    pd.testing.assert_frame_equal(
+        fast[sorted(fast.columns)], joined[sorted(joined.columns)]
+    )
+
+
 def test_embed_dedup_filter_keeps_min_per_component(ray_session, embs):
     """Survivors = everything minus non-min members of cosine near-dup
     components; cross-checked against a direct numpy pair + union-find
