@@ -195,6 +195,64 @@ def test_simhash_signatures_deterministic_and_duplicate_consistent(ray_session, 
     assert 8 < sum(ones) / len(ones) < 56
 
 
+def test_crc32_rows_matches_zlib():
+    import zlib
+
+    from pdfredact_ray.stages.dedup import crc32_rows
+
+    rng = np.random.default_rng(5)
+    for w in (1, 4, 32, 57):
+        rows = rng.integers(0, 256, size=(200, w)).astype(np.uint8)
+        got = crc32_rows(rows)
+        want = [zlib.crc32(rows[i].tobytes()) for i in range(rows.shape[0])]
+        assert got.tolist() == want
+
+
+def test_simhash_batch_equals_per_doc_reference():
+    """The vectorized batch kernel (unique-token md5 cache + reduceat vote
+    sums) must reproduce the scalar per-doc path bit for bit, including
+    empty docs, repeated tokens, and the bit-63 mask."""
+    from pdfredact_ray.stages.dedup import SimHasher
+
+    texts = [
+        "the quick brown fox",
+        "",
+        "a a a a b",  # duplicate occurrences each vote
+        "ze ZE Ze zE",  # case-distinct tokens
+        " \t ",  # whitespace-only -> no tokens
+        "one-token",
+        ("tok%d " % 7) * 300,  # long doc crossing the reduceat chunk target
+    ]
+    sh = SimHasher()
+    tbl = sh(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    ref = SimHasher()
+    for i, text in enumerate(texts):
+        sim, bands = ref.signature_ref(text)
+        assert tbl.column("simhash")[i].as_py() == sim, text
+        for b in range(4):
+            assert tbl.column(f"band{b}")[i].as_py() == bands[b], (text, b)
+    # cache survives across batches and stays bounded
+    sh.CACHE_MAX = 8
+    sh2 = SimHasher()
+    sh2.CACHE_MAX = 8
+    big = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array([f"w{i} w{i+1} shared" for i in range(30)], pa.string()),
+        }
+    )
+    out1 = sh2(big)
+    assert len(sh2._hcache) <= 8
+    assert out1.equals(SimHasher()(big))
+
+
 def test_simhash_vote_semantics():
     """Hand-computed majority vote on a 3-token doc."""
     from pdfredact_ray.stages.dedup import SimHasher
