@@ -23,6 +23,13 @@ import sys
 import time
 
 
+# ANN quality floors (recall@10 vs the exact brute-force table): the bench
+# raises if either approximate path sinks below these. Tracked values are
+# IVF ~0.90 / LSH ~0.975 on the testdata embeddings.
+RECALL_FLOOR_IVF = 0.85
+RECALL_FLOOR_LSH = 0.90
+
+
 def _sf_dir() -> str:
     return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -284,6 +291,20 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("html_links", lambda: _consume(C.html_extract_links(sf_dir)))
 
     headline_sec = timings.get("redact_sorted_write")
+    # Hard quality floors: a recall regression must FAIL the bench, not just
+    # drift a reported number (floors sit below the tracked values — IVF
+    # 0.90 / LSH 0.975 — with headroom for corpus-dependent wobble).
+    recall_floor_ok = None
+    if recall is not None or lsh_recall is not None:
+        recall_floor_ok = (recall is None or recall >= RECALL_FLOOR_IVF) and (
+            lsh_recall is None or lsh_recall >= RECALL_FLOOR_LSH
+        )
+        if not recall_floor_ok:
+            raise AssertionError(
+                f"ANN recall sank below its floor: ivf={recall} "
+                f"(floor {RECALL_FLOOR_IVF}), lsh={lsh_recall} "
+                f"(floor {RECALL_FLOOR_LSH})"
+            )
     return {
         "metric": "end-to-end redaction (detect+merge+mask+order-restore+parquet sink) wall sec",
         "value": headline_sec,
@@ -295,6 +316,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         "turns_per_sec": round(n_turns / headline_sec, 1) if headline_sec else None,
         "recall": recall,
         "lsh_recall": lsh_recall,
+        "recall_floor_ok": recall_floor_ok,
     }
 
 

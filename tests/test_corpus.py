@@ -311,6 +311,29 @@ def test_ann_ivf_recall_against_bruteforce(ray_session, embs):
     assert hits / total >= 0.5  # nprobe=4 of 8 cells: recall well above chance
 
 
+def test_ann_recall_meets_bench_floors(ray_session):
+    """The bench's hard quality floors (bench.py raises below them) must
+    hold at the bench-default parameters on the sf0.01 corpus — so a
+    recall regression fails HERE before it fails a 10-minute bench run."""
+    from bench import RECALL_FLOOR_IVF, RECALL_FLOOR_LSH
+    from pdfredact_ray.pipelines.corpus import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_lsh,
+    )
+
+    def pairs(ds):
+        df = _pdf(ds)
+        return set(zip(df["query_id"], df["vec_id"]))
+
+    bf = pairs(ann_topk_bruteforce(SF))
+    assert bf
+    ivf_recall = len(bf & pairs(ann_topk_ivf(SF))) / len(bf)
+    lsh_recall = len(bf & pairs(ann_topk_lsh(SF))) / len(bf)
+    assert ivf_recall >= RECALL_FLOOR_IVF, ivf_recall
+    assert lsh_recall >= RECALL_FLOOR_LSH, lsh_recall
+
+
 def test_ann_ivf_multi_assign_recall_and_exhaustive_equality(ray_session, embs):
     """n_assign=2 (IVF spill): default params hold recall >= 0.8 on the
     weakly-clustered corpus, and probing EVERY cell must reproduce brute
