@@ -347,6 +347,14 @@ def conv_context_windows(sf_dir: str, k: int = 3) -> rd.Dataset:
     10^6-turn conversation becomes ~4k independent segments instead of one
     group. Emits (conv_id, turn_idx, n_context_turns, context_md5); the
     SQL oracle is one RANGE-frame window over the same turns parquet."""
+    ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"])
+    return context_windows_over(ds, k)
+
+
+def context_windows_over(ds, k: int = 3):
+    """Dataset-core of ``conv_context_windows``: takes any
+    (conv_id, turn_idx, text) Dataset — the scale benches and the planted-
+    whale tests feed synthetic corpora through here directly."""
     import hashlib
 
     import numpy as np
@@ -359,7 +367,6 @@ def conv_context_windows(sf_dir: str, k: int = 3) -> rd.Dataset:
         )
     W = np.int64(CTX_RANGE_W)
     NB = np.int64(64)
-    ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "text"])
 
     def replicate(t: pa.Table) -> pa.Table:
         import zlib

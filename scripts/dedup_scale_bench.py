@@ -128,6 +128,24 @@ def main() -> None:
             "capped_buckets": int(md.get(b"minhash.capped_buckets", b"0")),
             "dropped_members": int(md.get(b"minhash.dropped_members", b"0")),
         }
+    elif op == "doc_pack_sequences":
+        rows = C.doc_pack_sequences(sf_dir).count()
+    elif op == "near_dup_components":
+        out = C.near_dup_components(sf_dir)
+        rows = out.num_rows if hasattr(out, "num_rows") else out.count()
+        extras = {"cc_driver_max_edges": C.CC_DRIVER_MAX_EDGES}
+    elif op == "simhash_signatures":
+        rows = C.simhash_signatures(sf_dir).count()
+    elif op == "corpus_clean":
+        # the 100TB-shape rehearsal runs this with every driver gate forced
+        # off via env (GRAFT_DRIVER_BUCKET_MAX_ROWS=0 GRAFT_CC_DRIVER_MAX_EDGES=0
+        # GRAFT_HOTSET_MAX_ROWS=0) — record the gate state next to the number
+        rows = C.corpus_clean(sf_dir).count()
+        extras = {
+            "driver_bucket_max_rows": C.DRIVER_BUCKET_MAX_ROWS,
+            "cc_driver_max_edges": C.CC_DRIVER_MAX_EDGES,
+            "hotset_max_rows": C.HOTSET_MAX_ROWS,
+        }
     else:
         raise SystemExit(f"unknown op {op!r}")
     sec = time.perf_counter() - t0

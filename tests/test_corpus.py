@@ -954,6 +954,25 @@ def test_cross_doc_repeated_ngrams_planted(ray_session, tmp_path):
     assert by[5].n_distinct == 0 and not by[5].flagged
 
 
+def test_corpus_clean_all_gates_off_matches(ray_session):
+    """The 100TB-shape rehearsal in miniature: corpus_clean with EVERY
+    driver gate forced off (distributed minhash bucketing, distributed
+    connected components, hash-join hot set) must reproduce the gated
+    composition's kept set exactly."""
+    import pdfredact_ray.pipelines.corpus as cc
+
+    fast = set(_pdf(cc.corpus_clean(SF))["doc_id"])
+    saved = (cc.DRIVER_BUCKET_MAX_ROWS, cc.CC_DRIVER_MAX_EDGES, cc.HOTSET_MAX_ROWS)
+    try:
+        cc.DRIVER_BUCKET_MAX_ROWS = 0
+        cc.CC_DRIVER_MAX_EDGES = 0
+        cc.HOTSET_MAX_ROWS = 0
+        dist = set(_pdf(cc.corpus_clean(SF))["doc_id"])
+    finally:
+        cc.DRIVER_BUCKET_MAX_ROWS, cc.CC_DRIVER_MAX_EDGES, cc.HOTSET_MAX_ROWS = saved
+    assert fast == dist and fast
+
+
 def test_cross_doc_ngrams_forced_join_path_matches(ray_session, tmp_path):
     """HOTSET_MAX_ROWS forced to 0 takes the hash-join leg (hot set stays a
     Dataset; per-doc shared counts via join + bucketed combine) — output

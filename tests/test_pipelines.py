@@ -296,3 +296,54 @@ def test_conv_context_windows_boundaries_and_gaps(ray_session, tmp_path, monkeyp
         ctx_idx = [j for j in range(i - 3, i) if j in by_conv[c]]
         ctx = "\n".join(by_conv[c][j] for j in ctx_idx)
         assert got[(c, i)] == (len(ctx_idx), hashlib.md5(ctx.encode()).hexdigest()), (c, i)
+
+
+def test_conv_context_windows_planted_whale_at_scale(ray_session):
+    """Planted whale at the REAL range width: one conversation owns 30% of
+    60k turns (18k dense indices -> ~70 CTX_RANGE_W=256 range segments via
+    shadow replication), the rest spread over 420 small convs. Every turn's
+    (n_context, md5) must match a direct per-conv recompute — exercising the
+    production shadow-replication path, not a shrunk-width toy."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfredact_ray.pipelines.turnqueries import context_windows_over
+
+    n, whale_n = 60_000, 18_000
+    convs = ["whale"] * whale_n
+    idxs = list(range(whale_n))
+    per_small = (n - whale_n) // 420
+    for c in range(420):
+        convs.extend([f"s{c:04d}"] * per_small)
+        idxs.extend(range(per_small))
+    texts = [f"{c}#{i} body" for c, i in zip(convs, idxs)]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    # shuffle the row order so ranges arrive interleaved across blocks
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(tbl.num_rows)
+    tbl = tbl.take(pa.array(perm))
+    ds = rd.from_arrow([tbl.slice(i, 8_192) for i in range(0, tbl.num_rows, 8_192)])
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_context_turns"], r["context_md5"])
+        for r in context_windows_over(ds, k=3).take_all()
+    }
+    assert len(got) == tbl.num_rows
+    by_conv: dict = {}
+    for c, i, x in zip(convs, idxs, texts):
+        by_conv.setdefault(c, {})[i] = x
+    for c, i in zip(convs, idxs):
+        ctx_idx = [j for j in range(i - 3, i) if j in by_conv[c]]
+        ctx = "\n".join(by_conv[c][j] for j in ctx_idx)
+        assert got[(c, i)] == (
+            len(ctx_idx),
+            hashlib.md5(ctx.encode()).hexdigest(),
+        ), (c, i)
