@@ -16,6 +16,7 @@ Scale shapes (SURVEY.md §4 + ray_guide aggregation patterns):
 
 from __future__ import annotations
 
+import os
 import zlib
 from typing import List, Set, Tuple
 
@@ -358,11 +359,14 @@ class SimHasher:
 #   relative to the corpus — so below the gate one numpy/Python pass is both
 #   exact and faster than any shuffle.
 # - distributed alternating large-star / small-star (Kiveris et al. 2014,
-#   "Connected Components in MapReduce and Beyond"): each round is one
-#   groupby over the edge list; converges in O(log^2 n) rounds to per-
-#   component stars centered at the min node. This is the 100 TB path when
-#   the pair list itself outgrows one machine (e.g. crawl-scale exact-dup
-#   clusters); its only shuffle key is the edge src.
+#   "Connected Components in MapReduce and Beyond"): each round is TWO
+#   bucketed groupbys over the edge list (bucket = src % CC_N_BUCKETS, so
+#   the star logic runs as one segmented numpy pass per bucket — O(buckets)
+#   Python calls, never O(nodes) — and in-bucket pair dedup replaces the
+#   dedup exchange); converges in O(log^2 n) rounds to per-component stars
+#   centered at the min node. This is the 100 TB path when the pair list
+#   itself outgrows one machine (e.g. crawl-scale exact-dup clusters); its
+#   only shuffle key is the src hash bucket.
 # ---------------------------------------------------------------------------
 
 
@@ -396,42 +400,56 @@ def union_find_components(doc_a: np.ndarray, doc_b: np.ndarray) -> pa.Table:
     )
 
 
-def _dedup_edges(ds):
-    """Distinct (src, dst) via the native composite-key count aggregate.
-    (A groupby(src) + per-group np.unique variant measured SLOWER despite
-    fewer groups — map_groups pays a Python call per group, and the star
-    graphs have O(nodes) tiny groups.)"""
+CC_N_BUCKETS = int(os.environ.get("GRAFT_CC_BUCKETS", 256))
 
-    return ds.groupby(["src", "dst"]).count().map_batches(
-        lambda t: t if t.num_columns == 0 else t.drop_columns(["count()"]),
-        batch_format="pyarrow",
+
+def _star_segments(g: pa.Table):
+    """Shared prep for the bucketed star kernels: lexsort the bucket's
+    (src, dst) rows, drop duplicate pairs (a bucket holds EVERY row of its
+    srcs, so per-bucket dedup of (src, dst) is globally complete), and
+    return the per-src segment geometry. The whole bucket is one vectorized
+    pass — O(buckets) Python calls per round, never O(nodes)."""
+    s = g.column("src").to_numpy().astype(np.int64, copy=False)
+    d = g.column("dst").to_numpy().astype(np.int64, copy=False)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    s, d = s[keep], d[keep]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    seg_len = np.diff(np.r_[starts, len(s)])
+    return s, d, starts, seg_len
+
+
+def _large_star_bucket(g: pa.Table) -> pa.Table:
+    """Large-star over one hash bucket of the doubled adjacency: for every
+    src u emit (v, min(min_nbr, u)) for each neighbor v > u."""
+    if g.num_columns == 0 or g.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    s, d, starts, seg_len = _star_segments(g)
+    m_full = np.repeat(np.minimum(d[starts], s[starts]), seg_len)
+    mask = d > s
+    return pa.table(
+        {"src": pa.array(d[mask], pa.int64()), "dst": pa.array(m_full[mask], pa.int64())}
     )
 
 
-def _large_star_group(g: pa.Table) -> pa.Table:
-    u = int(g.column("src")[0].as_py())
-    nbrs = np.unique(g.column("dst").to_numpy())
-    m = min(int(nbrs[0]), u)
-    big = nbrs[nbrs > u]
+def _small_star_bucket(g: pa.Table) -> pa.Table:
+    """Small-star over one hash bucket of hi->lo oriented edges: for every
+    src u with neighbors N (all < u) and m = min(N), emit (v, m) for
+    v in N \\ {m} plus (u, m). src != dst by construction (u > m and the
+    deduped min occurs exactly once per segment), so no post-filter and —
+    because the next large-star kernel dedups in-bucket — no dedup
+    exchange after this phase either."""
+    if g.num_columns == 0 or g.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    s, d, starts, seg_len = _star_segments(g)
+    m = d[starts]
+    m_full = np.repeat(m, seg_len)
+    mask = d != m_full
     return pa.table(
         {
-            "src": pa.array(big.astype(np.int64), pa.int64()),
-            "dst": pa.array(np.full(len(big), m, dtype=np.int64), pa.int64()),
-        }
-    )
-
-
-def _small_star_group(g: pa.Table) -> pa.Table:
-    # edges arrive oriented hi -> lo, so every neighbor < u and min(N) is
-    # the candidate root
-    u = int(g.column("src")[0].as_py())
-    nbrs = np.unique(g.column("dst").to_numpy())
-    m = int(nbrs[0])
-    out = [v for v in nbrs[1:].tolist()] + [u]
-    return pa.table(
-        {
-            "src": pa.array(np.asarray(out, dtype=np.int64), pa.int64()),
-            "dst": pa.array(np.full(len(out), m, dtype=np.int64), pa.int64()),
+            "src": pa.array(np.concatenate([d[mask], s[starts]]), pa.int64()),
+            "dst": pa.array(np.concatenate([m_full[mask], m]), pa.int64()),
         }
     )
 
@@ -470,15 +488,38 @@ def _edge_signature(ds) -> Tuple[int, int]:
 
 def _star_labels_batch(t: pa.Table) -> pa.Table:
     """Fixpoint star edges (v, root) -> label rows for v AND the root
-    itself; the downstream groupby(doc_id).min dedups the root copies."""
+    itself, tagged with the doc_id hash bucket; the downstream bucketed
+    min-kernel dedups the root copies."""
     if t.num_columns == 0:
         return t
-    s = t.column("src").combine_chunks()
-    d = t.column("dst").combine_chunks()
+    s = t.column("src").to_numpy().astype(np.int64, copy=False)
+    d = t.column("dst").to_numpy().astype(np.int64, copy=False)
+    ids = np.concatenate([s, d])
     return pa.table(
         {
-            "doc_id": pa.concat_arrays([s, d]),
-            "component": pa.concat_arrays([d, d]),
+            "doc_id": pa.array(ids, pa.int64()),
+            "component": pa.array(np.concatenate([d, d]), pa.int64()),
+            "bucket": pa.array(ids % CC_N_BUCKETS, pa.int64()),
+        }
+    )
+
+
+def _label_min_bucket(g: pa.Table) -> pa.Table:
+    """Per-bucket segmented min(component) by doc_id — the bucketed
+    replacement for groupby(doc_id).min on O(nodes) keys."""
+    if g.num_columns == 0 or g.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+    ids = g.column("doc_id").to_numpy().astype(np.int64, copy=False)
+    comp = g.column("component").to_numpy().astype(np.int64, copy=False)
+    order = np.lexsort((comp, ids))
+    ids, comp = ids[order], comp[order]
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "component": pa.array(comp[starts], pa.int64()),
         }
     )
 
@@ -490,9 +531,13 @@ def connected_components_distributed(edges, max_iters: int = 32):
     (callers behind the ``CC_DRIVER_MAX_EDGES`` gate use the union-find
     table instead). Convergence = the edge multiset (count, xor-checksum)
     signature is stable across a full large+small round (both phases are
-    monotone toward the star fixpoint, so a stable multiset is a fixpoint);
-    the signature is a distributed per-block partial aggregate — O(blocks)
-    driver rows per round, never the O(edges) list.
+    monotone toward the star fixpoint, so a stable multiset is a fixpoint;
+    and because each kernel dedups its INPUT pairs in-bucket, a round's
+    output multiset is a pure function of the input edge SET — so the
+    multiset stabilizes at most one round after the set does, despite the
+    round carrying no dedup exchange); the signature is a distributed
+    per-block partial aggregate — O(blocks) driver rows per round, never
+    the O(edges) list.
 
     ``edges`` is a pa.Table OR an already-distributed Dataset with
     (doc_a, doc_b) columns — the latter keeps the crawl-scale pair list
@@ -528,46 +573,59 @@ def connected_components_distributed(edges, max_iters: int = 32):
         ).materialize()
         if ds.count() == 0:
             return empty
+    nb = CC_N_BUCKETS
     prev_sig = None
     for _ in range(max_iters):
-        # large-star over UNDIRECTED adjacency: emit both directions
+        # large-star over UNDIRECTED adjacency: emit both directions, tag
+        # each row with its src hash bucket (map-only; Ray fuses the two)
         both = ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "src": pa.concat_arrays(
-                        [c.combine_chunks() for c in (t.column("src"), t.column("dst"))]
-                    ),
-                    "dst": pa.concat_arrays(
-                        [c.combine_chunks() for c in (t.column("dst"), t.column("src"))]
-                    ),
-                }
+            lambda t: (
+                lambda s, d: pa.table(
+                    {
+                        "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                        "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                        "bucket": pa.array(
+                            np.concatenate([s, d]) % nb, pa.int64()
+                        ),
+                    }
+                )
+            )(
+                t.column("src").to_numpy().astype(np.int64, copy=False),
+                t.column("dst").to_numpy().astype(np.int64, copy=False),
             ),
             batch_format="pyarrow",
         )
-        # no dedup exchange after large-star: duplicate (v, m) edges across
-        # groups are absorbed by the small-star group's np.unique, so the
-        # extra groupby bought nothing but a 4th all-to-all per round
-        # (measured ~25% of the per-round cost at 2M docs / 350k edges)
-        ds = both.groupby("src").map_groups(_large_star_group, batch_format="pyarrow")
-        # small-star over hi -> lo orientation
+        # ONE exchange per star phase: groupby(bucket) co-locates every row
+        # of a src (bucket = src % nb) into O(nb) groups; the kernel runs
+        # the per-src logic as one segmented numpy pass. No dedup exchange
+        # anywhere in the round — each kernel drops duplicate (src, dst)
+        # pairs in-bucket, which is a complete global dedup of its INPUT,
+        # and cross-group duplicate emissions are absorbed by the next
+        # kernel the same way. (The old shape — per-src map_groups + a
+        # groupby(src, dst) dedup — paid 3 all-to-alls and O(nodes) Python
+        # calls per round; this pays 2 and O(nb).)
+        ds = both.groupby("bucket").map_groups(_large_star_bucket, batch_format="pyarrow")
+        # small-star over hi -> lo orientation, bucketed the same way
         hi_lo = ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "src": pa.array(
-                        np.maximum(t.column("src").to_numpy(), t.column("dst").to_numpy()),
-                        pa.int64(),
-                    ),
-                    "dst": pa.array(
-                        np.minimum(t.column("src").to_numpy(), t.column("dst").to_numpy()),
-                        pa.int64(),
-                    ),
-                }
+            lambda t: (
+                lambda s, d: (
+                    lambda hi, lo: pa.table(
+                        {
+                            "src": pa.array(hi, pa.int64()),
+                            "dst": pa.array(lo, pa.int64()),
+                            "bucket": pa.array(hi % nb, pa.int64()),
+                        }
+                    )
+                )(np.maximum(s, d), np.minimum(s, d))
+            )(
+                t.column("src").to_numpy().astype(np.int64, copy=False),
+                t.column("dst").to_numpy().astype(np.int64, copy=False),
             ),
             batch_format="pyarrow",
         ).filter(expr="src != dst")
-        ds = _dedup_edges(
-            hi_lo.groupby("src").map_groups(_small_star_group, batch_format="pyarrow")
-        ).filter(expr="src != dst").materialize()
+        ds = hi_lo.groupby("bucket").map_groups(
+            _small_star_bucket, batch_format="pyarrow"
+        ).materialize()
         sig = _edge_signature(ds)
         if sig == prev_sig:
             break
@@ -575,17 +633,13 @@ def connected_components_distributed(edges, max_iters: int = 32):
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
     # fixpoint edges are stars (v, root): labels = edges + the roots
-    # themselves, deduped with one skinny groupby — the label table stays a
-    # Dataset end to end
+    # themselves, deduped with one BUCKETED min exchange (a plain
+    # groupby(doc_id).min pays the per-partition sort-aggregate tax on
+    # O(nodes) keys — measured 36s of a 119s run at 2M docs) — the label
+    # table stays a Dataset end to end
     labels = (
         ds.map_batches(_star_labels_batch, batch_format="pyarrow")
-        .groupby("doc_id")
-        .min("component")
-        .map_batches(
-            lambda t: t
-            if t.num_columns == 0
-            else t.rename_columns(["doc_id", "component"]),
-            batch_format="pyarrow",
-        )
+        .groupby("bucket")
+        .map_groups(_label_min_bucket, batch_format="pyarrow")
     )
     return labels
