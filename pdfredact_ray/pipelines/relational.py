@@ -79,6 +79,21 @@ def join_partitions(est_rows: int, row_bytes: int = 24) -> int:
     return int(max(8, min(by_target, cpus * 2), by_ceiling))
 
 
+# Broadcast-vs-shuffle join planning, Spark autoBroadcastJoinThreshold-style
+# but in rows: when the parquet footer row count of the join's SMALL side
+# (orders/customer here — the side the query reduces to skinny keys or a
+# key -> attribute dim) is at or below this, the join runs as a ray.put
+# broadcast + per-batch sorted-key lookup/is_in (zero exchanges); above it,
+# the hash-partitioned ``Dataset.join`` shuffle paths below are unchanged.
+# 5M skinny rows ≈ low hundreds of MB in the object store — one local read
+# per task on any worker. Footer metadata only, never a scan; set
+# GRAFT_BROADCAST_JOIN_MAX_ROWS=0 to force every query onto its shuffle
+# shape (the forced-off equality pytest does exactly that).
+BROADCAST_JOIN_MAX_ROWS = int(
+    os.environ.get("GRAFT_BROADCAST_JOIN_MAX_ROWS", 5_000_000)
+)
+
+
 
 def _floor_cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.floor(pc.multiply(col, 100.0)), pa.int64())
@@ -197,34 +212,90 @@ def revenue_by_priority(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
-    )
-    num_partitions = join_partitions(_table_rows(sf_dir, "orders"))
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    if _table_rows(sf_dir, "orders") <= BROADCAST_JOIN_MAX_ROWS:
+        # broadcast plan: orders collapses to a sorted orderkey -> priority
+        # code dim (ray.put once); the pre-reduced li partials look it up
+        # per batch and pre-aggregate per priority — zero join exchanges,
+        # only the tiny priority groupby remains
+        import pyarrow.parquet as pq
 
-    def pri_partial(t: pa.Table) -> pa.Table:
-        pri = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
-        cents = t.column("revenue_cents").to_numpy()
-        uniq, inv = np.unique(pri, return_inverse=True)
-        return pa.table(
+        od = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        ).sort_by("o_orderkey")
+        pri_vals, pri_codes = np.unique(
+            np.asarray(od.column("o_orderpriority").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        dim_ref = ray.put(
             {
-                "o_orderpriority": pa.array(uniq, type=pa.string()),
-                "revenue_cents": pa.array(
-                    group_sum(inv, len(uniq), cents), type=pa.int64()
-                ),
-                "n_orders": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
+                "keys": od.column("o_orderkey").to_numpy(),
+                "codes": pri_codes.astype(np.int64),
+                "vals": pri_vals,
             }
         )
 
+        def pri_partial_bcast(t: pa.Table, ref) -> pa.Table:
+            d = ref if isinstance(ref, dict) else ray.get(ref)
+            keys = t.column("l_orderkey").to_numpy()
+            pos = np.minimum(
+                np.searchsorted(d["keys"], keys), max(len(d["keys"]) - 1, 0)
+            )
+            if len(keys) and not (
+                len(d["keys"]) and np.array_equal(d["keys"][pos], keys)
+            ):
+                raise ValueError("l_orderkey missing from orders dim")
+            cents = t.column("revenue_cents").to_numpy()
+            uniqc, inv = np.unique(d["codes"][pos], return_inverse=True)
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(d["vals"][uniqc], type=pa.string()),
+                    "revenue_cents": pa.array(
+                        group_sum(inv, len(uniqc), cents), type=pa.int64()
+                    ),
+                    "n_orders": pa.array(
+                        np.bincount(inv).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        partials = li.map_batches(
+            pri_partial_bcast, fn_args=(dim_ref,), batch_format="pyarrow"
+        )
+    else:
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        num_partitions = join_partitions(_table_rows(sf_dir, "orders"))
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def pri_partial(t: pa.Table) -> pa.Table:
+            pri = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+            cents = t.column("revenue_cents").to_numpy()
+            uniq, inv = np.unique(pri, return_inverse=True)
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(uniq, type=pa.string()),
+                    "revenue_cents": pa.array(
+                        group_sum(inv, len(uniq), cents), type=pa.int64()
+                    ),
+                    "n_orders": pa.array(
+                        np.bincount(inv).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        partials = joined.map_batches(pri_partial, batch_format="pyarrow")
+
     agg = (
-        joined.map_batches(pri_partial, batch_format="pyarrow")
+        partials
         .groupby("o_orderpriority")
         .aggregate(Sum("revenue_cents"), Sum("n_orders"))
     )
@@ -776,71 +847,178 @@ def q3_shipping_priority(
         .map_groups(combine, batch_format="pyarrow")
     )
 
-    def orders_prep(t: pa.Table) -> pa.Table:
-        od = t.column("o_orderdate").cast(pa.timestamp("us"))
-        mask = pa.array(od.to_numpy() < cutoff_ts)
-        t = t.filter(mask)
-        return pa.table(
-            {
-                "o_orderkey": t.column("o_orderkey"),
-                "o_custkey": t.column("o_custkey"),
-                "o_orderdate": pc.strftime(
-                    t.column("o_orderdate").cast(pa.timestamp("us")), format="%Y-%m-%d"
-                ),
-                "o_orderpriority": t.column("o_orderpriority"),
-            }
-        )
+    if (
+        _table_rows(sf_dir, "orders") <= BROADCAST_JOIN_MAX_ROWS
+        and _table_rows(sf_dir, "customer") <= BROADCAST_JOIN_MAX_ROWS
+    ):
+        # broadcast plan: the segment's date-filtered orders collapse to a
+        # sorted orderkey -> (date, priority) dim driver-side (both footer
+        # gates passed); the pre-reduced li revenue probes it per batch and
+        # prunes to a local top-k — both join exchanges disappear
+        import pyarrow.parquet as pq
 
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(orders_prep, batch_format="pyarrow")
-
-    cust = (
-        rd.read_parquet(
+        cust_t = pq.read_table(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"],
         )
-        .filter(expr=f"c_mktsegment == {segment!r}")
-        .map_batches(lambda t: t.select(["c_custkey"]), batch_format="pyarrow")
-    )
-
-    num_partitions = join_partitions(_table_rows(sf_dir, "orders"))
-    orders_seg = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-    joined = li.join(
-        orders_seg,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def local_topk(t: pa.Table) -> pa.Table:
-        rev = t.column("revenue_cents").to_numpy()
-        keys = t.column("l_orderkey").to_numpy()
-        order = np.lexsort((keys, -rev))[:k]
-        return pa.table(
+        ckeys = pa.array(
+            np.unique(
+                cust_t.filter(pc.equal(cust_t.column("c_mktsegment"), segment))
+                .column("c_custkey")
+                .to_numpy()
+            ),
+            pa.int64(),
+        )
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        )
+        m_date = ot.column("o_orderdate").cast(pa.timestamp("us")).to_numpy() < cutoff_ts
+        m_seg = pc.is_in(ot.column("o_custkey"), value_set=ckeys).to_numpy(
+            zero_copy_only=False
+        )
+        ot = ot.filter(pa.array(m_date & m_seg)).sort_by("o_orderkey")
+        dim_ref = ray.put(
             {
-                "l_orderkey": pa.array(keys[order], pa.int64()),
-                "revenue_cents": pa.array(rev[order], pa.int64()),
-                "o_orderdate": t.column("o_orderdate").take(pa.array(order)),
-                "o_orderpriority": t.column("o_orderpriority").take(pa.array(order)),
+                "keys": ot.column("o_orderkey").to_numpy(),
+                "dates": np.asarray(
+                    pc.strftime(
+                        ot.column("o_orderdate").cast(pa.timestamp("us")),
+                        format="%Y-%m-%d",
+                    ).to_pylist(),
+                    dtype=object,
+                ),
+                "pris": np.asarray(
+                    ot.column("o_orderpriority").to_pylist(), dtype=object
+                ),
             }
         )
 
+        def topk_bcast(t: pa.Table, ref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.string()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+            if t.num_columns == 0 or t.num_rows == 0:
+                return empty
+            d = ref if isinstance(ref, dict) else ray.get(ref)
+            n = len(d["keys"])
+            if n == 0:
+                return empty
+            keys = t.column("l_orderkey").to_numpy()
+            rev = t.column("revenue_cents").to_numpy()
+            pos = np.minimum(np.searchsorted(d["keys"], keys), n - 1)
+            m = d["keys"][pos] == keys
+            keys, rev, pos = keys[m], rev[m], pos[m]
+            order = np.lexsort((keys, -rev))[:k]
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(keys[order], pa.int64()),
+                    "revenue_cents": pa.array(rev[order], pa.int64()),
+                    "o_orderdate": pa.array(d["dates"][pos[order]], pa.string()),
+                    "o_orderpriority": pa.array(d["pris"][pos[order]], pa.string()),
+                }
+            )
+
+        topk_parts = li.map_batches(
+            topk_bcast, fn_args=(dim_ref,), batch_format="pyarrow"
+        )
+    else:
+
+        def orders_prep(t: pa.Table) -> pa.Table:
+            od = t.column("o_orderdate").cast(pa.timestamp("us"))
+            mask = pa.array(od.to_numpy() < cutoff_ts)
+            t = t.filter(mask)
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_custkey": t.column("o_custkey"),
+                    "o_orderdate": pc.strftime(
+                        t.column("o_orderdate").cast(pa.timestamp("us")),
+                        format="%Y-%m-%d",
+                    ),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            )
+
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(orders_prep, batch_format="pyarrow")
+
+        cust = (
+            rd.read_parquet(
+                os.path.join(sf_dir, "customer.parquet"),
+                columns=["c_custkey", "c_mktsegment"],
+            )
+            .filter(expr=f"c_mktsegment == {segment!r}")
+            .map_batches(lambda t: t.select(["c_custkey"]), batch_format="pyarrow")
+        )
+
+        num_partitions = join_partitions(_table_rows(sf_dir, "orders"))
+        orders_seg = orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        joined = li.join(
+            orders_seg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            rev = t.column("revenue_cents").to_numpy()
+            keys = t.column("l_orderkey").to_numpy()
+            order = np.lexsort((keys, -rev))[:k]
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(keys[order], pa.int64()),
+                    "revenue_cents": pa.array(rev[order], pa.int64()),
+                    "o_orderdate": t.column("o_orderdate").take(pa.array(order)),
+                    "o_orderpriority": t.column("o_orderpriority").take(pa.array(order)),
+                }
+            )
+
+        topk_parts = joined.map_batches(local_topk, batch_format="pyarrow")
+
     parts = pa.concat_tables(
-        ray.get(joined.map_batches(local_topk, batch_format="pyarrow").materialize().to_arrow_refs())
+        ray.get(topk_parts.materialize().to_arrow_refs())
     )
     order = np.lexsort(
         (parts.column("l_orderkey").to_numpy(), -parts.column("revenue_cents").to_numpy())
     )[:k]
     return parts.take(order)
+
+
+def _priority_buyer_keys(sf_dir: str, priority: str) -> np.ndarray:
+    """Distinct o_custkey of ``priority`` orders, computed driver-side.
+    Only legal when the caller's footer-row gate says orders is small
+    enough to broadcast (``BROADCAST_JOIN_MAX_ROWS``)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+    m = pc.equal(t.column("o_orderpriority"), priority)
+    return np.unique(t.filter(m).column("o_custkey").to_numpy())
+
+
+def _keys_filter(t: pa.Table, keys_ref, invert: bool = False) -> pa.Table:
+    """Task-based semi/anti filter of customer rows against a broadcast
+    buyer-key array (one local object-store read per task)."""
+    keys = keys_ref if isinstance(keys_ref, pa.Array) else ray.get(keys_ref)
+    m = pc.is_in(t.column("c_custkey"), value_set=keys)
+    return t.filter(pc.invert(m) if invert else m)
 
 
 def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset:
@@ -854,7 +1032,19 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Data
     broadcasts (the distinct-buyer set is customer-table-sized), which is
     exactly when this shuffle shape is the right one — contrast
     ``dedup_filter``'s broadcast anti-join, correct there because its drop
-    set is O(dups)."""
+    set is O(dups). Below ``BROADCAST_JOIN_MAX_ROWS`` (footer row count of
+    orders) the whole join collapses to a broadcast is_in filter — zero
+    exchanges."""
+    if _table_rows(sf_dir, "orders") <= BROADCAST_JOIN_MAX_ROWS:
+        keys_ref = ray.put(
+            pa.array(_priority_buyer_keys(sf_dir, priority), pa.int64())
+        )
+        return rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        ).map_batches(
+            _keys_filter, fn_args=(keys_ref, True), batch_format="pyarrow"
+        )
 
     def distinct_keys(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -905,7 +1095,18 @@ def customers_with_orders(sf_dir: str, priority: str = "1-URGENT") -> rd.Dataset
     filter flipped to IS NOT NULL: Ray's ``Dataset.join`` has no native
     semi type, and inner-joining against the raw orders table would both
     duplicate customers per order and ship order rows through the
-    exchange."""
+    exchange. Below ``BROADCAST_JOIN_MAX_ROWS`` the join collapses to a
+    broadcast is_in filter, same as the anti join."""
+    if _table_rows(sf_dir, "orders") <= BROADCAST_JOIN_MAX_ROWS:
+        keys_ref = ray.put(
+            pa.array(_priority_buyer_keys(sf_dir, priority), pa.int64())
+        )
+        return rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        ).map_batches(
+            _keys_filter, fn_args=(keys_ref, False), batch_format="pyarrow"
+        )
 
     def distinct_keys(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -335,3 +335,31 @@ def test_orders_above_avg_strict_excludes_single_order_customer(ray_session, tmp
     pq.write_table(t, os.path.join(sf, "orders.parquet"))
     got = orders_above_customer_avg(sf).to_pandas()
     assert sorted(got["o_orderkey"]) == [3]
+
+
+def test_broadcast_join_gate_paths_equal(ray_session):
+    """The footer-row broadcast-join gate must be a pure plan choice: each
+    gated query returns identical rows on the broadcast plan (default at
+    test scale) and the forced shuffle plan (gate = 0)."""
+    import pdfredact_ray.pipelines.relational as R
+
+    def snap(fn):
+        # both return types (Dataset, pa.Table) expose .to_pandas()
+        return _norm(fn(SF).to_pandas())
+
+    queries = [
+        R.revenue_by_priority,
+        R.q3_shipping_priority,
+        R.customers_with_orders,
+        R.customers_without_orders,
+    ]
+    saved = R.BROADCAST_JOIN_MAX_ROWS
+    assert saved > 0  # default must enable the broadcast plan at test scale
+    try:
+        bcast = [snap(q) for q in queries]
+        R.BROADCAST_JOIN_MAX_ROWS = 0  # force every query onto the shuffle plan
+        shuf = [snap(q) for q in queries]
+    finally:
+        R.BROADCAST_JOIN_MAX_ROWS = saved
+    for b, s, q in zip(bcast, shuf, queries):
+        pd.testing.assert_frame_equal(b, s), q.__name__
