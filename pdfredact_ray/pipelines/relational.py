@@ -394,53 +394,116 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_partial, fn_args=(dim_ref,), batch_format="pyarrow")
 
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
-    )
-    # measured at the pre-reduced join sizes: 8 partitions beat 24 (fixed
-    # per-partition cost dominates skinny int data); grows with cores
-    num_partitions = join_partitions(
-        max(_table_rows(sf_dir, "orders"), _table_rows(sf_dir, "customer"))
-    )
-    j1 = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-    customer = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
-    j2 = j1.join(
-        customer,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
+    if (
+        _table_rows(sf_dir, "orders") <= BROADCAST_JOIN_MAX_ROWS
+        and _table_rows(sf_dir, "customer") <= BROADCAST_JOIN_MAX_ROWS
+    ):
+        # broadcast plan: orders ⋈ customer collapses driver-side into one
+        # sorted o_orderkey -> c_nationkey dim (both footer gates passed,
+        # ray.put once); the pre-reduced li partials probe it per batch,
+        # apply the same-nation filter, and pre-aggregate per nation —
+        # BOTH big-big exchanges disappear, leaving only the ≤25-row
+        # groupby(n_name)
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        ).sort_by("o_orderkey")
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ).sort_by("c_custkey")
+        ckeys = ct.column("c_custkey").to_numpy()
+        cnats = ct.column("c_nationkey").to_numpy().astype(np.int64)
+        okeys = ot.column("o_orderkey").to_numpy()
+        ocust = ot.column("o_custkey").to_numpy()
+        if len(ckeys):
+            cpos = np.minimum(np.searchsorted(ckeys, ocust), len(ckeys) - 1)
+            ohit = ckeys[cpos] == ocust  # inner join: orphan orders drop
+            odim = {"keys": okeys[ohit], "cnats": cnats[cpos[ohit]]}
+        else:
+            odim = {"keys": okeys[:0], "cnats": cnats[:0]}
+        odim_ref = ray.put(odim)
 
-    def nat_partial(t: pa.Table, ref) -> pa.Table:
-        d = ref if isinstance(ref, dict) else ray.get(ref)
-        same = pc.equal(t.column("nationkey"), t.column("c_nationkey"))
-        t = t.filter(same)
-        nkey = t.column("nationkey").to_numpy()
-        cents = t.column("revenue_cents").to_numpy()
-        uniq, inv = np.unique(nkey, return_inverse=True)
-        return pa.table(
-            {
-                "n_name": pa.array([d["names"][int(k)] for k in uniq], type=pa.string()),
-                "revenue_cents": pa.array(
-                    group_sum(inv, len(uniq), cents), type=pa.int64()
-                ),
-            }
+        def nat_partial_bcast(t: pa.Table, ref, oref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_columns == 0 or t.num_rows == 0:
+                return empty
+            d = ref if isinstance(ref, dict) else ray.get(ref)
+            od = oref if isinstance(oref, dict) else ray.get(oref)
+            if len(od["keys"]) == 0:
+                return empty
+            keys = t.column("l_orderkey").to_numpy()
+            pos = np.minimum(np.searchsorted(od["keys"], keys), len(od["keys"]) - 1)
+            nkey = t.column("nationkey").to_numpy()
+            same = (od["keys"][pos] == keys) & (od["cnats"][pos] == nkey)
+            nkey = nkey[same]
+            cents = t.column("revenue_cents").to_numpy()[same]
+            uniq, inv = np.unique(nkey, return_inverse=True)
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [d["names"][int(k)] for k in uniq], type=pa.string()
+                    ),
+                    "revenue_cents": pa.array(
+                        group_sum(inv, len(uniq), cents), type=pa.int64()
+                    ),
+                }
+            )
+
+        partials = li.map_batches(
+            nat_partial_bcast, fn_args=(dim_ref, odim_ref), batch_format="pyarrow"
+        )
+    else:
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+        )
+        # measured at the pre-reduced join sizes: 8 partitions beat 24 (fixed
+        # per-partition cost dominates skinny int data); grows with cores
+        num_partitions = join_partitions(
+            max(_table_rows(sf_dir, "orders"), _table_rows(sf_dir, "customer"))
+        )
+        j1 = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        customer = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+        )
+        j2 = j1.join(
+            customer,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
         )
 
-    agg = (
-        j2.map_batches(nat_partial, fn_args=(dim_ref,), batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("revenue_cents"))
-    )
+        def nat_partial(t: pa.Table, ref) -> pa.Table:
+            d = ref if isinstance(ref, dict) else ray.get(ref)
+            same = pc.equal(t.column("nationkey"), t.column("c_nationkey"))
+            t = t.filter(same)
+            nkey = t.column("nationkey").to_numpy()
+            cents = t.column("revenue_cents").to_numpy()
+            uniq, inv = np.unique(nkey, return_inverse=True)
+            return pa.table(
+                {
+                    "n_name": pa.array([d["names"][int(k)] for k in uniq], type=pa.string()),
+                    "revenue_cents": pa.array(
+                        group_sum(inv, len(uniq), cents), type=pa.int64()
+                    ),
+                }
+            )
+
+        partials = j2.map_batches(nat_partial, fn_args=(dim_ref,), batch_format="pyarrow")
+
+    agg = partials.groupby("n_name").aggregate(Sum("revenue_cents"))
     return agg.map_batches(
         lambda t: t.rename_columns(["n_name", "revenue_cents"]), batch_format="pyarrow"
     )
@@ -990,9 +1053,23 @@ def q3_shipping_priority(
 
         topk_parts = joined.map_batches(local_topk, batch_format="pyarrow")
 
-    parts = pa.concat_tables(
-        ray.get(topk_parts.materialize().to_arrow_refs())
-    )
+    # the sort/join exchanges can emit zero-column empty blocks that Ray
+    # passes through map_batches unmapped — drop them before concat
+    blocks = [
+        t
+        for t in ray.get(topk_parts.materialize().to_arrow_refs())
+        if t.num_columns > 0
+    ]
+    if not blocks:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.string()),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+    parts = pa.concat_tables(blocks)
     order = np.lexsort(
         (parts.column("l_orderkey").to_numpy(), -parts.column("revenue_cents").to_numpy())
     )[:k]

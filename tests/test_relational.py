@@ -352,6 +352,7 @@ def test_broadcast_join_gate_paths_equal(ray_session):
         R.q3_shipping_priority,
         R.customers_with_orders,
         R.customers_without_orders,
+        R.local_supplier_volume,
     ]
     saved = R.BROADCAST_JOIN_MAX_ROWS
     assert saved > 0  # default must enable the broadcast plan at test scale
