@@ -37,6 +37,29 @@ from pdfredact_ray.stages.textops import BPE_TOKEN_RE as _BPE_RAW  # noqa: E402
 
 _BPE_SQL = _BPE_RAW.replace("'", "''")
 
+# PII-scan oracles share the exact RE2 strings with pipelines.corpus
+# (Arrow count_substring_regex / DuckDB regexp_extract_all are both RE2).
+_PII_NM_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{p.replace(chr(39), chr(39) * 2)}'))"
+    for p in C.SENSITIVE_PATTERNS
+)
+_PII_MC_SQL = " + ".join(
+    f"(len(text) - len(regexp_replace(text, '{p.replace(chr(39), chr(39) * 2)}', '', 'g')))"
+    for p in C.SENSITIVE_PATTERNS
+)
+_PII_SCAN_SQL = f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               CAST({_PII_NM_SQL} AS BIGINT) AS n_matches,
+               CAST({_PII_MC_SQL} AS BIGINT) AS matched_chars
+        FROM documents
+    )
+    SELECT doc_id, n_matches, matched_chars,
+           CAST(CASE WHEN n_chars > 0 THEN (1000 * matched_chars) // n_chars
+                ELSE 0 END AS BIGINT) AS density_permille
+    FROM s
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: fused detect+merge+mask
@@ -131,6 +154,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # training sequence packing = distributed exclusive prefix-scan
         # (range two-sweep; the SQL oracle is one window sum)
         "doc_pack_sequences": C.doc_pack_sequences,
+        # rule-driven sensitive-text scan over the corpus (the redaction
+        # engine's regex semantics as pure RE2 Arrow kernels) + its gate
+        "doc_pii_density": C.doc_pii_density,
+        "pii_clean_filter": C.pii_clean_filter,
         # --- text analysis
         "doc_token_counts": C.doc_token_counts,
         "doc_bpe_token_counts": C.doc_bpe_token_counts,
@@ -617,6 +644,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "doc_pii_density": _PII_SCAN_SQL,
+        "pii_clean_filter": f"""
+            SELECT * FROM ({_PII_SCAN_SQL}) WHERE density_permille <= 10
         """,
         "doc_token_counts": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens

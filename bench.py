@@ -240,6 +240,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
             bf = _pairs(ann_tables["bf"])
             lsh_recall = round(len(bf & _pairs(ann_tables["lsh"])) / len(bf), 4) if bf else None
         timed("doc_quality", lambda: _consume(C.doc_quality(sf_dir)))
+        timed("pii_density", lambda: _consume(C.doc_pii_density(sf_dir)))
         timed("events_window", lambda: _consume(C.events_tumbling_window(sf_dir)))
         timed("events_hopping", lambda: _consume(C.events_hopping_window(sf_dir)))
         timed("lineitem_agg", lambda: _consume(C.lineitem_agg(sf_dir)))

@@ -719,6 +719,78 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
     )
 
 
+# Default sensitive-content rules for the corpus PII scan: raw RE2 strings
+# shared verbatim with the SQL oracles (word-shaped because the synthetic
+# documents corpus is digit-free; real deployments pass SSN/email/CC
+# patterns — the kernels are pattern-agnostic).
+SENSITIVE_PATTERNS = (
+    r"key \w+ row",
+    r"hash value",
+    r"spark[a-z]*",
+    r"table (scan|sort|window)",
+)
+
+
+def doc_pii_density(
+    sf_dir: str, patterns: Sequence[str] = SENSITIVE_PATTERNS
+) -> rd.Dataset:
+    """Rule-driven sensitive-text detection as a corpus scoring pass — the
+    redaction engine's regex-rule semantics (M4, ``functions/rules.py``;
+    reference ``RedactionPlanner.cs`` regex path) applied per document to
+    grade training data for PII density.
+
+    Per doc and per rule: non-overlapping leftmost RE2 match count
+    (``pc.count_substring_regex``) and matched-char mass via the length
+    delta of ``pc.replace_substring_regex`` — both pure Arrow kernels, so
+    the hot path has zero per-row Python. Summed over rules;
+    ``density_permille`` = (1000 * matched_chars) // n_chars is exact
+    integer per the repo invariant. Scale shape: one streaming map, no
+    shuffle, no state — at 100 TB this is a straight pass over blocks."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        nm = np.zeros(t.num_rows, np.int64)
+        mc = np.zeros(t.num_rows, np.int64)
+        base = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        for p in patterns:
+            nm += pc.count_substring_regex(txt, pattern=p).to_numpy().astype(np.int64)
+            stripped = pc.replace_substring_regex(txt, pattern=p, replacement="")
+            mc += base - pc.utf8_length(stripped).to_numpy().astype(np.int64)
+        nch = t.column("n_chars").to_numpy()
+        dens = np.where(nch > 0, (1000 * mc) // np.maximum(nch, 1), np.int64(0))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_matches": pa.array(nm, pa.int64()),
+                "matched_chars": pa.array(mc, pa.int64()),
+                "density_permille": pa.array(dens, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
+
+
+def pii_clean_filter(
+    sf_dir: str,
+    max_permille: int = 10,
+    patterns: Sequence[str] = SENSITIVE_PATTERNS,
+) -> rd.Dataset:
+    """Corpus gate on the PII scan: keep docs whose sensitive-match density
+    is at most ``max_permille``. Same zero-shuffle streaming map as
+    ``doc_pii_density`` with the threshold fused into the batch kernel —
+    dropped rows never leave the task."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t.column("density_permille"), max_permille)
+        return t.filter(keep)
+
+    return doc_pii_density(sf_dir, patterns=patterns).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 def doc_token_counts(sf_dir: str) -> rd.Dataset:

@@ -1085,3 +1085,60 @@ def test_taskstage_cache_reuses_and_bounds():
         TS.stage_call(t, Probe, {"tag": i})
     assert len(TS._CACHE) <= TS._CACHE_MAX
     TS._CACHE.clear()
+
+
+def test_doc_pii_density_planted(ray_session, tmp_path):
+    """PII scan semantics on constructed docs: non-overlapping leftmost RE2
+    counts per rule, matched-char mass via replace-delta, exact integer
+    permille, and degenerate rows (empty text, n_chars=0)."""
+    from pdfredact_ray.pipelines.corpus import doc_pii_density, pii_clean_filter
+
+    texts = [
+        "my ssn is 123-45-6789 and again 123-45-6789",  # 2 matches, 22 chars
+        "no sensitive content here",                    # 0 matches
+        "",                                             # empty text
+        "999-99-9999",                                  # exact full-width match
+    ]
+    rows = {
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    pat = (r"\d{3}-\d{2}-\d{4}",)
+    got = (
+        doc_pii_density(str(tmp_path), patterns=pat)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "n_matches"] == 2 and got.loc[0, "matched_chars"] == 22
+    assert got.loc[0, "density_permille"] == (1000 * 22) // len(texts[0])
+    assert got.loc[1, "n_matches"] == 0 and got.loc[1, "density_permille"] == 0
+    assert got.loc[2, "matched_chars"] == 0 and got.loc[2, "density_permille"] == 0
+    assert got.loc[3, "density_permille"] == 1000  # whole doc is one match
+    kept = set(
+        pii_clean_filter(str(tmp_path), max_permille=100, patterns=pat)
+        .to_pandas()["doc_id"]
+    )
+    assert kept == {1, 2}  # both match-bearing docs exceed 100 permille
+
+
+def test_doc_pii_density_multi_rule_sums(ray_session, tmp_path):
+    """Counts/chars sum over rules; rules hitting the same span both count
+    (per-rule semantics, matching the SQL oracle's per-pattern sum)."""
+    from pdfredact_ray.pipelines.corpus import doc_pii_density
+
+    text = "alpha beta alpha"
+    rows = {
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array([text], pa.string()),
+        "n_chars": pa.array([len(text)], pa.int64()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    got = doc_pii_density(
+        str(tmp_path), patterns=(r"alpha", r"alpha beta")
+    ).to_pandas()
+    # rule 1: two 'alpha' (10 chars); rule 2: one 'alpha beta' (10 chars)
+    assert int(got.loc[0, "n_matches"]) == 3
+    assert int(got.loc[0, "matched_chars"]) == 20
