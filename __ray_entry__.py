@@ -154,6 +154,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # training sequence packing = distributed exclusive prefix-scan
         # (range two-sweep; the SQL oracle is one window sum)
         "doc_pack_sequences": C.doc_pack_sequences,
+        # training mixture sampling: per-source char-budget cut in
+        # deterministic md5-rank order (two-sweep distributed prefix scan)
+        "corpus_mixture_sample": C.corpus_mixture_sample,
         # rule-driven sensitive-text scan over the corpus (the redaction
         # engine's regex semantics as pure RE2 Arrow kernels) + its gate
         "doc_pii_density": C.doc_pii_density,
@@ -822,6 +825,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 512
                         AS BIGINT) AS seq_id
             FROM c
+        """,
+        # per-source char-budget mixture cut over the SAME md5 rank both
+        # sides (hex strings compare identically in Python and SQL)
+        "corpus_mixture_sample": """
+            WITH r AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS prev_chars
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, prev_chars
+            FROM r WHERE prev_chars < 3000
         """,
         # cross-doc repeated 8-grams: 8-token shingles via window lead(),
         # distinct per (doc, shingle); hot = shingles in >= 2 distinct

@@ -228,6 +228,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("embed_dedup_filter", lambda: _consume(C.embed_dedup_filter(sf_dir)))
         timed("cross_doc_ngrams", lambda: _consume(C.cross_doc_repeated_ngrams(sf_dir)))
         timed("pack_sequences", lambda: _consume(C.doc_pack_sequences(sf_dir)))
+        timed("mixture_sample", lambda: _consume(C.corpus_mixture_sample(sf_dir)))
 
         def _pairs(t):
             df = t.to_pandas()

@@ -1362,6 +1362,120 @@ def doc_pack_sequences(
     )
 
 
+def corpus_mixture_sample(
+    sf_dir: str, char_budget: int = 3000, n_buckets: int = 256
+) -> rd.Dataset:
+    """Training-data mixture sampling: per source, keep documents in
+    deterministic ``md5(str(doc_id))`` rank order until the source's char
+    budget is spent — keep a doc while the EXCLUSIVE running char sum of
+    its ranked predecessors is still under ``char_budget``. Emits
+    (doc_id, source, n_chars, prev_chars); the SQL oracle is one window
+    sum over the same md5 rank (hex compares identically both sides).
+
+    Scale shape — the ``doc_pack_sequences`` two-sweep prefix scan, keyed
+    by rank instead of doc_id: the md5 hex PREFIX is an order-preserving
+    bucketing of the rank order, so docs land in (source, hash-prefix
+    bucket) groups whose sizes are corpus/256 per source — fixed group
+    count, no whale key, no global sort. Sweep 1 is map-only per-batch
+    (source, bucket, chars) partials whose driver cumsum yields each
+    bucket's base offset (a K×256-int collect, broadcast once); sweep 2
+    sorts WITHIN each group by (hash, doc_id), adds the base, and applies
+    the budget cut — one bounded-group exchange total."""
+    if not 1 <= n_buckets <= 256 or 256 % n_buckets:
+        raise ValueError("n_buckets must divide 256")
+    div = 256 // n_buckets  # first hash byte -> bucket, order-preserving
+
+    def hashed(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        h = np.asarray(
+            [hashlib.md5(str(int(d)).encode()).hexdigest() for d in did],
+            dtype=object,
+        )
+        b = np.asarray([int(x[:2], 16) for x in h], dtype=np.int64) // div
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        gk = np.asarray(
+            [f"{s}:{int(bb):03d}" for s, bb in zip(src, b)], dtype=object
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "h": pa.array(h, pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+                "gk": pa.array(gk, pa.string()),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(hashed, batch_format="pyarrow")
+        .materialize()  # consumed by both sweeps
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        from pdfredact_ray.functions.ints import group_sum
+
+        gk = np.asarray(t.column("gk").to_pylist(), dtype=object)
+        uniq, inv = np.unique(gk, return_inverse=True)
+        return pa.table(
+            {
+                "gk": pa.array(uniq, pa.string()),
+                "chars": pa.array(
+                    group_sum(inv, len(uniq), t.column("n_chars").to_numpy()),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = _collect(rows.map_batches(bucket_partial, batch_format="pyarrow"))
+    base: dict = {}
+    if parts is not None:
+        gks = parts.column("gk").to_pylist()
+        chars = parts.column("chars").to_numpy()
+        totals: dict = {}
+        for gk, c in zip(gks, chars):
+            s, b = gk.rsplit(":", 1)
+            arr = totals.setdefault(s, np.zeros(n_buckets, np.int64))
+            arr[int(b)] += int(c)
+        for s, arr in totals.items():
+            base[s] = np.concatenate(([0], np.cumsum(arr)[:-1]))
+    base_ref = ray.put(base)
+
+    def pick(g: pa.Table, ref) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "prev_chars": pa.array([], pa.int64()),
+                }
+            )
+        d = ref if isinstance(ref, dict) else ray.get(ref)
+        src = g.column("source")[0].as_py()
+        b = int(g.column("bucket")[0].as_py())
+        did = g.column("doc_id").to_numpy()
+        nch = g.column("n_chars").to_numpy()
+        h = np.asarray(g.column("h").to_pylist(), dtype=object)
+        order = np.lexsort((did, h))
+        excl = d[src][b] + np.concatenate(([0], np.cumsum(nch[order])[:-1]))
+        keep = excl < char_budget
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[sel], pa.int64()),
+                "source": pa.array(np.full(len(sel), src, dtype=object), pa.string()),
+                "n_chars": pa.array(nch[sel], pa.int64()),
+                "prev_chars": pa.array(excl[keep], pa.int64()),
+            }
+        )
+
+    return rows.groupby("gk").map_groups(
+        pick, fn_args=(base_ref,), batch_format="pyarrow"
+    )
+
+
 def _cross_doc_ngrams_joined(
     sf_dir: str, hot_ds: rd.Dataset, hash_doc_rows, k: int, n_buckets: int
 ) -> rd.Dataset:

@@ -1142,3 +1142,82 @@ def test_doc_pii_density_multi_rule_sums(ray_session, tmp_path):
     # rule 1: two 'alpha' (10 chars); rule 2: one 'alpha beta' (10 chars)
     assert int(got.loc[0, "n_matches"]) == 3
     assert int(got.loc[0, "matched_chars"]) == 20
+
+
+def test_corpus_mixture_sample_matches_local_recompute(ray_session, tmp_path):
+    """Mixture cut vs a local single-pass recompute on a corpus wide enough
+    to span many hash-prefix buckets, plus boundary semantics: a doc is
+    kept iff the EXCLUSIVE prefix of its ranked predecessors < budget."""
+    import hashlib
+
+    from pdfredact_ray.pipelines.corpus import corpus_mixture_sample
+
+    rng = np.random.default_rng(7)
+    n = 600
+    src = [f"s{i % 3}" for i in range(n)]
+    nch = rng.integers(10, 50, n).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "n_chars": pa.array(nch, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    budget = 800
+    got = (
+        corpus_mixture_sample(str(tmp_path), char_budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # local oracle: per source, rank by (md5(str(doc_id)), doc_id), keep
+    # while the exclusive running char sum is under budget
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": np.arange(n), "source": src, "n_chars": nch})
+    df["h"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+    keep_rows = []
+    for s, g in df.groupby("source"):
+        g = g.sort_values(["h", "doc_id"])
+        prev = g["n_chars"].cumsum().shift(fill_value=0)
+        m = prev < budget
+        kept = g[m].copy()
+        kept["prev_chars"] = prev[m]
+        keep_rows.append(kept)
+    exp = (
+        pd.concat(keep_rows)[["doc_id", "source", "n_chars", "prev_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "n_chars", "prev_chars"]].astype(exp.dtypes.to_dict()),
+        exp,
+    )
+    # every source spends at least its budget or ran out of docs
+    spent = got.groupby("source")["n_chars"].sum()
+    for s in spent.index:
+        total = df[df["source"] == s]["n_chars"].sum()
+        assert spent[s] >= min(budget, total)
+
+
+def test_corpus_mixture_sample_degenerate_budgets(ray_session, tmp_path):
+    from pdfredact_ray.pipelines.corpus import corpus_mixture_sample
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "source": pa.array(["a", "a"], pa.string()),
+                "n_chars": pa.array([5, 5], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    assert corpus_mixture_sample(str(tmp_path), char_budget=0).count() == 0
+    all_kept = corpus_mixture_sample(str(tmp_path), char_budget=10**9).to_pandas()
+    assert sorted(all_kept["doc_id"]) == [1, 2]
+    with pytest.raises(ValueError):
+        corpus_mixture_sample(str(tmp_path), n_buckets=7)
