@@ -72,6 +72,10 @@ def entry() -> Any:
 # through round 4 (r03 ∪ r04 union), so they lead the dict this round; the
 # repo's own check_oracles.py sweep covers the full registry regardless.
 _STAMP_PRIORITY = (
+    # late-round-5 additions — never had a stamp opportunity
+    "doc_pii_density",
+    "pii_clean_filter",
+    "corpus_mixture_sample",
     "q3_shipping_priority",
     "user_funnel_depth",
     "user_daily_retention",
