@@ -9,6 +9,8 @@ in a fresh Ray session — run it once per op so sessions never share state:
     python scripts/dedup_scale_bench.py dedup_filter
     python scripts/dedup_scale_bench.py bloom_new_docs
     python scripts/dedup_scale_bench.py minhash_near_dup_pairs
+    python scripts/dedup_scale_bench.py doc_pii_density       # derived -mix corpus
+    python scripts/dedup_scale_bench.py corpus_mixture_sample # derived -mix corpus
 
 Prints one JSON line: {"op", "sec", "docs_per_sec", "rows", ...extras}.
 The bloom run also reports kept/dropped so an undersized filter (the old
@@ -91,6 +93,59 @@ def ensure_corpus() -> str:
     return CORPUS_DIR
 
 
+def ensure_mix_corpus() -> str:
+    """Derived corpus for the ops that need source/n_chars columns
+    (doc_pii_density, corpus_mixture_sample): the same 2M texts with
+    source = 'src{doc_id % 64}' and n_chars = len(text), one derived
+    shard per base shard, cached next to the base corpus."""
+    base = ensure_corpus()
+    out = CORPUS_DIR + "-mix"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import glob
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 32)),
+                 include_dashboard=False, logging_level="ERROR")
+    os.makedirs(os.path.join(out, "documents.parquet"), exist_ok=True)
+
+    @ray.remote
+    def derive(src_path: str, dst_path: str) -> None:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src_path)
+        did = t.column("doc_id").to_numpy()
+        src = pa.array([f"src{int(d) % 64}" for d in did], pa.string())
+        nch = pc.utf8_length(t.column("text")).cast(pa.int64())
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "text": t.column("text"),
+                    "source": src,
+                    "n_chars": nch,
+                }
+            ),
+            dst_path,
+        )
+
+    parts = sorted(glob.glob(os.path.join(base, "documents.parquet", "*.parquet")))
+    ray.get(
+        [
+            derive.remote(p, os.path.join(out, "documents.parquet", os.path.basename(p)))
+            for p in parts
+        ]
+    )
+    open(marker, "w").write("ok")
+    return out
+
+
 def main() -> None:
     op = sys.argv[1] if len(sys.argv) > 1 else "synth"
     sf_dir = ensure_corpus()
@@ -146,6 +201,14 @@ def main() -> None:
             "cc_driver_max_edges": C.CC_DRIVER_MAX_EDGES,
             "hotset_max_rows": C.HOTSET_MAX_ROWS,
         }
+    elif op == "doc_pii_density":
+        rows = C.doc_pii_density(ensure_mix_corpus()).count()
+    elif op == "corpus_mixture_sample":
+        # per-source budget sized so the cut is non-trivial at 2M docs
+        # (64 sources x ~31k docs x ~360 chars: keep ~9% per source)
+        out = C.corpus_mixture_sample(ensure_mix_corpus(), char_budget=1_000_000)
+        rows = out.count()
+        extras = {"char_budget": 1_000_000}
     else:
         raise SystemExit(f"unknown op {op!r}")
     sec = time.perf_counter() - t0
