@@ -76,6 +76,7 @@ _STAMP_PRIORITY = (
     "doc_pii_density",
     "pii_clean_filter",
     "corpus_mixture_sample",
+    "turn_boilerplate_flags",
     "q3_shipping_priority",
     "user_funnel_depth",
     "user_daily_retention",
@@ -135,6 +136,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # per-turn SFT context windows (prev <=3 turns by index, md5'd);
         # whale-proof via (conv, turn-range) groups + tail replication
         "conv_context_windows": T.conv_context_windows,
+        # transcript boilerplate detection: k-token prefix repeated across
+        # >= min_convs distinct conversations (bucketed distinct-conv count
+        # + gated broadcast/join flag pass)
+        "turn_boilerplate_flags": T.turn_boilerplate_flags,
         # resumable lineage job end-to-end (S4 sink, hash-bucket layout)
         "job_turn_counts": T.job_turn_counts,
         # --- deduplication
@@ -612,6 +617,22 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{turns}')
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                          RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        """,
+        # boilerplate prefixes: both sides split on the literal single
+        # space (plain turns are single-line single-space by construction)
+        "turn_boilerplate_flags": f"""
+            WITH plain AS ({plain}),
+            pre AS (
+                SELECT conv_id, turn_idx,
+                       array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+                           AS prefix
+                FROM plain
+            ),
+            hot AS (
+                SELECT prefix, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+                FROM pre GROUP BY prefix HAVING count(DISTINCT conv_id) >= 2
+            )
+            SELECT conv_id, turn_idx, prefix, n_convs FROM pre JOIN hot USING (prefix)
         """,
         "redact_match_counts": f"""
             WITH plain AS ({plain})

@@ -457,3 +457,148 @@ def context_windows_over(ds, k: int = 3):
         .groupby("salt")
         .map_groups(per_salt, batch_format="pyarrow")
     )
+
+
+def turn_boilerplate_flags(
+    sf_dir: str, min_convs: int = 2, k_tokens: int = 5, n_buckets: int = 64
+) -> rd.Dataset:
+    """Transcript-axis boilerplate detection (the north-star's boilerplate
+    stripper applied to turns instead of DOM nodes): a turn is FLAGGED when
+    its ``k_tokens``-token normalized prefix appears in >= ``min_convs``
+    DISTINCT conversations — repeated system prompts, templated tool
+    banners, canned greetings. Emits (conv_id, turn_idx, prefix, n_convs),
+    O(flagged) rows; a strip pass is the inverted filter of the same hot
+    set.
+
+    Scale shape: prefix extraction is pure Arrow (`split_pattern` →
+    `list_slice` → `binary_join`, zero per-row Python — plain turns are
+    single-line single-space, so `' '`-split parity with the SQL oracle's
+    `string_split` holds, SURVEY.md §2.1 #2). Pass 1 emits per-batch
+    DISTINCT (prefix, conv) pairs into crc32(prefix) buckets — the one
+    skinny all-to-all, fixed group count, the `dedup_exact` shape — and
+    each bucket re-distincts and counts conversations per prefix. The hot
+    prefix table is O(boilerplate templates); below `HOTSET_MAX_ROWS` it
+    broadcasts once via ray.put and pass 2 is a shuffle-free `is_in`
+    filter + sorted-probe count attach; above the gate it stays a Dataset
+    and pass 2 inner-hash-joins it on prefix (the
+    `cross_doc_repeated_ngrams` fallback shape)."""
+    import binascii
+
+    import numpy as np
+
+    from pdfredact_ray.pipelines.corpus import HOTSET_MAX_ROWS, _collect
+
+    def prefixed(t: pa.Table) -> pa.Table:
+        pre = pc.binary_join(
+            pc.list_slice(pc.split_pattern(t.column("text"), pattern=" "), 0, k_tokens),
+            " ",
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "prefix": pre,
+            }
+        )
+
+    pre_ds = _plain(_turns(sf_dir)).map_batches(prefixed, batch_format="pyarrow")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # distinct (prefix, conv) via factorized int composites — NEVER
+        # string concat with a sentinel (numpy <U dtype truncates NULs,
+        # and prefixes are arbitrary text so no char is safe)
+        pre = np.asarray(t.column("prefix").to_pylist(), dtype=object)
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        up, ip = np.unique(pre, return_inverse=True)
+        uc, ic = np.unique(conv, return_inverse=True)
+        w = max(len(uc), 1)
+        comp = np.unique(ip.astype(np.int64) * w + ic)
+        pres = up[comp // w]
+        convs = uc[comp % w]
+        b = np.asarray(
+            [binascii.crc32(p.encode()) % n_buckets for p in pres], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "prefix": pa.array(pres, pa.string()),
+                "conv_id": pa.array(convs, pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def hot_combine(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "n_convs": pa.array([], pa.int64()),
+                }
+            )
+        pre = np.asarray(g.column("prefix").to_pylist(), dtype=object)
+        conv = np.asarray(g.column("conv_id").to_pylist(), dtype=object)
+        up, ip = np.unique(pre, return_inverse=True)
+        uc, ic = np.unique(conv, return_inverse=True)
+        w = max(len(uc), 1)
+        comp = np.unique(ip.astype(np.int64) * w + ic)  # distinct pairs
+        uniq_idx, counts = np.unique(comp // w, return_counts=True)
+        keep = counts >= min_convs
+        return pa.table(
+            {
+                "prefix": pa.array(up[uniq_idx[keep]], pa.string()),
+                "n_convs": pa.array(counts[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hot_ds = (
+        pre_ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hot_combine, batch_format="pyarrow")
+        .materialize()
+    )
+
+    if hot_ds.count() > HOTSET_MAX_ROWS:
+        # crawl-scale fallback: hot prefixes never leave the cluster
+        return pre_ds.join(
+            hot_ds, join_type="inner", num_partitions=n_buckets, on=("prefix",)
+        )
+
+    hot = _collect(hot_ds)
+    if hot is None or hot.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "prefix": pa.array([], pa.string()),
+                    "n_convs": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hp = np.asarray(hot.column("prefix").to_pylist(), dtype=object)
+    order = np.argsort(hp)
+    import ray
+
+    hot_ref = ray.put(
+        {
+            "prefix": hp[order],
+            "n_convs": hot.column("n_convs").to_numpy()[order],
+            "keys": pa.array(hp[order], pa.string()),
+        }
+    )
+
+    def flag(t: pa.Table, ref) -> pa.Table:
+        d = ref if isinstance(ref, dict) else ray.get(ref)
+        m = pc.is_in(t.column("prefix"), value_set=d["keys"])
+        t = t.filter(m)
+        pre = np.asarray(t.column("prefix").to_pylist(), dtype=object)
+        pos = np.searchsorted(d["prefix"], pre)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "prefix": t.column("prefix"),
+                "n_convs": pa.array(d["n_convs"][pos], pa.int64()),
+            }
+        )
+
+    return pre_ds.map_batches(flag, fn_args=(hot_ref,), batch_format="pyarrow")

@@ -347,3 +347,64 @@ def test_conv_context_windows_planted_whale_at_scale(ray_session):
             len(ctx_idx),
             hashlib.md5(ctx.encode()).hexdigest(),
         ), (c, i)
+
+
+def test_turn_boilerplate_flags_planted(ray_session, tmp_path, monkeypatch):
+    """Planted boilerplate templates: a 5-token prefix shared by >= 2
+    DISTINCT conversations flags every turn carrying it; same-conv
+    repetition alone never flags; short turns (< 5 tokens) compare on the
+    whole text; @@LAYOUT@@ turns are excluded before prefixing."""
+    import numpy as np
+    import pyarrow as pa
+
+    import pdfredact_ray.pipelines.turnqueries as TQ
+
+    tpl = "I am a helpful assistant"
+    rows = [
+        # template across three convs (one conv carries it twice)
+        ("a", 0, f"{tpl} for conv a one"),
+        ("a", 1, f"{tpl} for conv a two"),
+        ("b", 0, f"{tpl} for conv b"),
+        ("c", 0, f"{tpl} hello"),
+        # same-conv-only repetition: must NOT flag
+        ("d", 0, "repeated only in conv d x"),
+        ("d", 1, "repeated only in conv d y"),
+        # short text in two convs: whole text is the prefix
+        ("a", 2, "hi"),
+        ("b", 1, "hi"),
+        # layout turn carrying the template: excluded by the plain filter
+        ("e", 0, f"@@LAYOUT@@{tpl} payload"),
+        # unique turn
+        ("e", 1, "completely unique turn text here"),
+    ]
+    t0 = np.datetime64("2026-06-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    src = str(tmp_path / "boiler_turns.parquet")
+    pq.write_table(tbl, src)
+    monkeypatch.setattr(TQ, "ensure_turns", lambda sf: src)
+
+    got = TQ.turn_boilerplate_flags("ignored").to_pandas()
+    flagged = {(r.conv_id, r.turn_idx): (r.prefix, r.n_convs) for r in got.itertuples()}
+    # the 4 template turns (3 convs) + the two 'hi' turns (2 convs)
+    assert set(flagged) == {("a", 0), ("a", 1), ("b", 0), ("c", 0), ("a", 2), ("b", 1)}
+    assert flagged[("a", 0)] == (tpl, 3) and flagged[("c", 0)] == (tpl, 3)
+    assert flagged[("a", 2)] == ("hi", 2)
+    # min_convs=3 drops the 2-conv 'hi' prefix, keeps the 3-conv template
+    got3 = TQ.turn_boilerplate_flags("ignored", min_convs=3).to_pandas()
+    assert set(zip(got3["conv_id"], got3["turn_idx"])) == {
+        ("a", 0), ("a", 1), ("b", 0), ("c", 0)
+    }
+    # no hot prefixes at all -> empty result, schema preserved (Ray's
+    # to_pandas drops columns on empty datasets; schema() keeps them)
+    ds_hi = TQ.turn_boilerplate_flags("ignored", min_convs=10)
+    assert ds_hi.count() == 0
+    assert set(ds_hi.schema().names) == {"conv_id", "turn_idx", "prefix", "n_convs"}
