@@ -129,6 +129,21 @@ def _semi_join(t: pa.Table, values_ref, key_fn, invert: bool = False) -> pa.Tabl
     return t.filter(pc.invert(m) if invert else m)
 
 
+def _drop_empty_blocks(ds: rd.Dataset) -> Optional[rd.Dataset]:
+    """Rebuild a MATERIALIZED dataset without Ray's zero-column empty
+    blocks (sort/groupby exchanges emit them; they BYPASS map_batches
+    UDFs entirely and Acero joins reject them as missing the key column).
+    Metadata-only: block refs are re-listed via the bundle metadata, no
+    block data touches the driver. None when every block is empty."""
+    refs = [
+        ref
+        for bundle in ds.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    return rd.from_arrow_refs(refs) if refs else None
+
+
 def _collect(ds: rd.Dataset) -> Optional[pa.Table]:
     """Materialize a (small) dataset driver-side, tolerating the empty
     zero-column blocks Ray aggregates sometimes emit; None when nothing
@@ -1672,7 +1687,12 @@ def cross_doc_repeated_ngrams(
         .materialize()
     )
     if hot_ds.count() > HOTSET_MAX_ROWS:
-        return _cross_doc_ngrams_joined(sf_dir, hot_ds, hash_doc_rows, k, n_buckets)
+        # shed the groupby's zero-column empty blocks before the Acero
+        # join (they bypass map_batches and lack the key column); hot is
+        # non-empty here by the gate, so the rebuild never returns None
+        return _cross_doc_ngrams_joined(
+            sf_dir, _drop_empty_blocks(hot_ds), hash_doc_rows, k, n_buckets
+        )
     hot = _collect(hot_ds)
     hot_arr = (
         np.sort(hot.column("h").to_numpy().astype(np.int64))

@@ -486,7 +486,11 @@ def turn_boilerplate_flags(
 
     import numpy as np
 
-    from pdfredact_ray.pipelines.corpus import HOTSET_MAX_ROWS, _collect
+    from pdfredact_ray.pipelines.corpus import (
+        HOTSET_MAX_ROWS,
+        _collect,
+        _drop_empty_blocks,
+    )
 
     def prefixed(t: pa.Table) -> pa.Table:
         pre = pc.binary_join(
@@ -557,9 +561,24 @@ def turn_boilerplate_flags(
     )
 
     if hot_ds.count() > HOTSET_MAX_ROWS:
-        # crawl-scale fallback: hot prefixes never leave the cluster
+        # crawl-scale fallback: hot prefixes never leave the cluster.
+        # Few partitions on pre-reduced string keys (the measured
+        # join_partitions floor) — n_buckets partitions deadlock small
+        # CPU counts via the join's internal actor pools. The right side
+        # must shed the groupby's zero-column empty blocks first (Acero
+        # rejects blocks missing the key column; metadata-only rebuild)
+        hot_clean = _drop_empty_blocks(hot_ds)
+        if hot_clean is None:
+            hot_clean = rd.from_arrow(
+                pa.table(
+                    {
+                        "prefix": pa.array([], pa.string()),
+                        "n_convs": pa.array([], pa.int64()),
+                    }
+                )
+            )
         return pre_ds.join(
-            hot_ds, join_type="inner", num_partitions=n_buckets, on=("prefix",)
+            hot_clean, join_type="inner", num_partitions=8, on=("prefix",)
         )
 
     hot = _collect(hot_ds)

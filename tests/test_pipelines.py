@@ -408,3 +408,52 @@ def test_turn_boilerplate_flags_planted(ray_session, tmp_path, monkeypatch):
     ds_hi = TQ.turn_boilerplate_flags("ignored", min_convs=10)
     assert ds_hi.count() == 0
     assert set(ds_hi.schema().names) == {"conv_id", "turn_idx", "prefix", "n_convs"}
+
+
+def test_turn_boilerplate_flags_join_path_equals_broadcast(
+    ray_session, tmp_path, monkeypatch
+):
+    """Forcing the hot-set gate to 0 routes the flag pass onto the
+    Dataset-join fallback; both plans must return identical rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    import pdfredact_ray.pipelines.corpus as CP
+    import pdfredact_ray.pipelines.turnqueries as TQ
+
+    rng = np.random.default_rng(11)
+    rows = []
+    tpls = [f"template {i} shared across many convs" for i in range(4)]
+    for c in range(12):
+        for i in range(6):
+            if rng.random() < 0.5:
+                rows.append((f"c{c}", i, f"{tpls[int(rng.integers(4))]} tail {c} {i}"))
+            else:
+                rows.append((f"c{c}", i, f"unique text {c} {i} {rng.integers(1 << 30)}"))
+    t0 = np.datetime64("2026-06-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    src = str(tmp_path / "gate_turns.parquet")
+    pq.write_table(tbl, src)
+    monkeypatch.setattr(TQ, "ensure_turns", lambda sf: src)
+
+    def snap(ds):
+        df = ds.to_pandas()
+        cols = ["conv_id", "turn_idx", "prefix", "n_convs"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    bcast = snap(TQ.turn_boilerplate_flags("ignored"))
+    assert len(bcast) > 0  # the planted templates must actually flag
+    monkeypatch.setattr(CP, "HOTSET_MAX_ROWS", 0)
+    joined = snap(TQ.turn_boilerplate_flags("ignored"))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bcast, joined.astype(bcast.dtypes.to_dict()))
