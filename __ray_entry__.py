@@ -73,6 +73,7 @@ def entry() -> Any:
 # repo's own check_oracles.py sweep covers the full registry regardless.
 _STAMP_PRIORITY = (
     # late-round-5 additions — never had a stamp opportunity
+    "turn_role_transitions",
     "doc_pii_density",
     "pii_clean_filter",
     "corpus_mixture_sample",
@@ -140,6 +141,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # >= min_convs distinct conversations (bucketed distinct-conv count
         # + gated broadcast/join flag pass)
         "turn_boilerplate_flags": T.turn_boilerplate_flags,
+        # role-bigram (Markov transition) counts over index-adjacent turn
+        # pairs; k=1 range-group replication, <=|roles|^2 partials per group
+        "turn_role_transitions": T.turn_role_transitions,
         # resumable lineage job end-to-end (S4 sink, hash-bucket layout)
         "job_turn_counts": T.job_turn_counts,
         # --- deduplication
@@ -633,6 +637,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM pre GROUP BY prefix HAVING count(DISTINCT conv_id) >= 2
             )
             SELECT conv_id, turn_idx, prefix, n_convs FROM pre JOIN hot USING (prefix)
+        """,
+        # role bigrams: gap-aware INDEX adjacency (prev turn_idx exactly
+        # one less), exactly the engine's range-group pair contract
+        "turn_role_transitions": f"""
+            SELECT p.role AS prev_role, t.role AS role,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{turns}') t
+            JOIN read_parquet('{turns}') p
+              ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx - 1
+            GROUP BY 1, 2
         """,
         "redact_match_counts": f"""
             WITH plain AS ({plain})

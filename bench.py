@@ -259,6 +259,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         timed("conv_assemble", lambda: _consume(TQ.conv_assemble(sf_dir)))
         timed("context_windows", lambda: _consume(TQ.conv_context_windows(sf_dir)))
         timed("boilerplate_flags", lambda: _consume(TQ.turn_boilerplate_flags(sf_dir)))
+        timed("role_transitions", lambda: TQ.turn_role_transitions(sf_dir).num_rows)
 
         from pdfredact_ray.pipelines import analytics as AN
 

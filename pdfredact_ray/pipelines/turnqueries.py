@@ -621,3 +621,127 @@ def turn_boilerplate_flags(
         )
 
     return pre_ds.map_batches(flag, fn_args=(hot_ref,), batch_format="pyarrow")
+
+
+def turn_role_transitions(sf_dir: str) -> pa.Table:
+    """Role-bigram (Markov transition) counts over ordered transcripts: for
+    every adjacent turn pair inside a conversation (turn_idx exactly one
+    apart — gap-aware INDEX adjacency, same contract as
+    ``conv_context_windows``), count (prev_role, role). The
+    agent-transcript structure primitive: who follows whom, how often a
+    tool turn answers an assistant turn, etc.
+
+    Distribution is the k=1 special case of the context-window range-group
+    trick: rows land in (conv, turn_idx // CTX_RANGE_W) salt groups with the
+    last index position of each range replicated forward as a context-only
+    shadow row, so a boundary pair never needs a second group and a
+    10^6-turn conversation is ~4k independent segments. Each group emits a
+    <= |roles|^2 partial count table, so the post-exchange combine is a few
+    KiB regardless of corpus size. Output (prev_role, role, n) with exact
+    int64 counts."""
+    ds = read_turns(ensure_turns(sf_dir), columns=["conv_id", "turn_idx", "role"])
+    return role_transitions_over(ds)
+
+
+def role_transitions_over(ds: rd.Dataset) -> pa.Table:
+    """Dataset-core of ``turn_role_transitions`` for synthetic-corpus tests."""
+    import numpy as np
+
+    from pdfredact_ray.pipelines.corpus import _collect
+
+    W = np.int64(CTX_RANGE_W)
+    NB = np.int64(64)
+    EMPTY = pa.table(
+        {
+            "prev_role": pa.array([], pa.string()),
+            "role": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def replicate(t: pa.Table) -> pa.Table:
+        import zlib
+
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        ti = t.column("turn_idx").to_numpy().astype(np.int64)
+        uconv, inv = np.unique(conv, return_inverse=True)
+        ccode = np.fromiter(
+            (zlib.crc32(c.encode()) for c in uconv), dtype=np.int64, count=len(uconv)
+        )[inv]
+        rng = ti // W
+        tail = (ti % W) == (W - 1)
+        out = pa.table(
+            {
+                "ccode": pa.array(ccode, pa.int64()),
+                "turn_idx": pa.array(ti, pa.int64()),
+                "role": t.column("role"),
+                "rng": pa.array(rng, pa.int64()),
+                "shadow": pa.array(np.zeros(len(ti), np.int8), pa.int8()),
+                "salt": pa.array((ccode + rng) % NB, pa.int64()),
+            }
+        )
+        if tail.any():
+            sel = pa.array(np.flatnonzero(tail))
+            shadows = pa.table(
+                {
+                    "ccode": pa.array(ccode[tail], pa.int64()),
+                    "turn_idx": pa.array(ti[tail], pa.int64()),
+                    "role": t.column("role").take(sel),
+                    "rng": pa.array(rng[tail] + 1, pa.int64()),
+                    "shadow": pa.array(np.ones(int(tail.sum()), np.int8), pa.int8()),
+                    "salt": pa.array((ccode[tail] + rng[tail] + 1) % NB, pa.int64()),
+                }
+            )
+            out = pa.concat_tables([out, shadows])
+        return out
+
+    def per_salt(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return EMPTY
+        ccode = g.column("ccode").to_numpy().astype(np.int64)
+        ti = g.column("turn_idx").to_numpy().astype(np.int64)
+        rng = g.column("rng").to_numpy().astype(np.int64)
+        shadow = g.column("shadow").to_numpy().astype(bool)
+        roles = np.asarray(g.column("role").to_pylist(), dtype=object)
+        uroles, rcode = np.unique(roles, return_inverse=True)
+        order = np.lexsort((ti, rng, ccode))
+        seg = ccode[order] * (np.int64(1) << np.int64(32)) + rng[order]
+        ti_s, rc_s, sh_s = ti[order], rcode[order], shadow[order]
+        # adjacent-in-segment pairs exactly one index apart; the later row
+        # must be real (a shadow's own pair is counted in its home range)
+        valid = (seg[1:] == seg[:-1]) & (ti_s[1:] - ti_s[:-1] == 1) & ~sh_s[1:]
+        if not valid.any():
+            return EMPTY
+        pair = rc_s[:-1][valid] * np.int64(len(uroles)) + rc_s[1:][valid]
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "prev_role": pa.array(uroles[upair // len(uroles)], pa.string()),
+                "role": pa.array(uroles[upair % len(uroles)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(per_salt, batch_format="pyarrow")
+    )
+    t = _collect(partials)
+    if t is None or t.num_rows == 0:
+        return EMPTY
+    prev = np.asarray(t.column("prev_role").to_pylist(), dtype=object)
+    cur = np.asarray(t.column("role").to_pylist(), dtype=object)
+    n = t.column("n").to_numpy().astype(np.int64)
+    vocab, codes = np.unique(np.concatenate([prev, cur]), return_inverse=True)
+    pcode, ccode = codes[: len(prev)], codes[len(prev) :]
+    upair, inv = np.unique(pcode * np.int64(len(vocab)) + ccode, return_inverse=True)
+    tot = np.zeros(len(upair), np.int64)
+    np.add.at(tot, inv, n)
+    return pa.table(
+        {
+            "prev_role": pa.array(vocab[upair // len(vocab)], pa.string()),
+            "role": pa.array(vocab[upair % len(vocab)], pa.string()),
+            "n": pa.array(tot, pa.int64()),
+        }
+    )

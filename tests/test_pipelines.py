@@ -457,3 +457,58 @@ def test_turn_boilerplate_flags_join_path_equals_broadcast(
     import pandas as pd
 
     pd.testing.assert_frame_equal(bcast, joined.astype(bcast.dtypes.to_dict()))
+
+
+def test_role_transitions_boundaries_and_gaps(ray_session):
+    """Role-bigram counts across range boundaries and index gaps: one
+    conversation spans several CTX_RANGE_W=256 ranges (boundary pairs must
+    survive shadow replication), another has index gaps (non-adjacent pairs
+    must NOT count), plus single-turn convs contributing nothing."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdfredact_ray.pipelines.turnqueries import role_transitions_over
+
+    roles3 = ("user", "assistant", "tool")
+    convs, idxs, roles = [], [], []
+    # whale: 1000 dense indices -> 3 boundary pairs at 255/256, 511/512, 767/768
+    for i in range(1000):
+        convs.append("whale"); idxs.append(i); roles.append(roles3[i % 3])
+    # gappy: even indices only -> zero adjacent pairs
+    for i in range(0, 40, 2):
+        convs.append("gappy"); idxs.append(i); roles.append("user")
+    # singles
+    for c in range(5):
+        convs.append(f"solo{c}"); idxs.append(0); roles.append("assistant")
+    expected = Counter()
+    by_conv: dict = {}
+    for c, i, r in zip(convs, idxs, roles):
+        by_conv.setdefault(c, {})[i] = r
+    for c, m in by_conv.items():
+        for i, r in m.items():
+            if i - 1 in m:
+                expected[(m[i - 1], r)] += 1
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+        }
+    )
+    rng = np.random.default_rng(7)
+    tbl = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    ds = rd.from_arrow([tbl.slice(i, 128) for i in range(0, tbl.num_rows, 128)])
+    out = role_transitions_over(ds)
+    got = {
+        (p, r): n
+        for p, r, n in zip(
+            out.column("prev_role").to_pylist(),
+            out.column("role").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    }
+    assert got == dict(expected)
+    assert sum(got.values()) == 999  # whale only; gappy + solos contribute 0
