@@ -109,16 +109,41 @@ def main() -> None:
         )
     import ray.data as rd
 
-    from pdfredact_ray.pipelines.turnqueries import context_windows_over
+    from pdfredact_ray.pipelines.turnqueries import (
+        context_windows_over,
+        role_transitions_over,
+    )
 
-    if op != "context_windows":
+    if op == "context_windows":
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"])
+        out = context_windows_over(ds, k=3)
+        # consume without a driver collect: count() drains the stream
+        rows = out.count()
+        sec = time.perf_counter() - t0
+    elif op == "role_transitions":
+        # the corpus carries no role column; derive one arithmetically per
+        # batch (ti % 3) — a negligible map stage, so the measurement is the
+        # operator's replicate/exchange/combine, not text IO
+        import numpy as np
+        import pyarrow as pa
+
+        ROLES = np.asarray(["user", "assistant", "tool"], dtype=object)
+
+        def attach_role(t: pa.Table) -> pa.Table:
+            ti = t.column("turn_idx").to_numpy().astype(np.int64)
+            return t.append_column("role", pa.array(ROLES[ti % 3], pa.string()))
+
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(corpus, columns=["conv_id", "turn_idx"]).map_batches(
+            attach_role, batch_format="pyarrow"
+        )
+        out = role_transitions_over(ds)
+        rows = out.num_rows
+        assert int(pa.compute.sum(out.column("n")).as_py()) > 0
+        sec = time.perf_counter() - t0
+    else:
         raise SystemExit(f"unknown op {op!r}")
-    t0 = time.perf_counter()
-    ds = rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"])
-    out = context_windows_over(ds, k=3)
-    # consume without a driver collect: count() drains the stream
-    rows = out.count()
-    sec = time.perf_counter() - t0
     print(
         json.dumps(
             {
